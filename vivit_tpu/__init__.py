@@ -1,0 +1,71 @@
+"""vivit-tpu: low-rank GGN curvature access, rebuilt TPU-native in JAX.
+
+A from-scratch re-design of the capabilities of `f-dangel/vivit
+<https://github.com/f-dangel/vivit>`_ for TPU: the BackPACK extension/hook
+machinery is replaced by function transforms (``vmap``-ed ``vjp`` for the GGN
+square root ``V``), Gram assembly and eigenvector back-projection run as
+MXU matmuls (optionally through a Pallas SYRK kernel), and data-parallel
+multi-chip execution reduces Gram blocks over ICI (:mod:`vivit_tpu.parallel`).
+
+Public surface (mirrors reference vivit/__init__.py:4-17):
+
+* :class:`~vivit_tpu.linalg.eigvalsh.EigvalshComputation` — GGN eigenvalues,
+* :class:`~vivit_tpu.linalg.eigh.EighComputation` — GGN eigenpairs,
+* :class:`~vivit_tpu.optim.directional_derivatives.DirectionalDerivativesComputation`,
+* :class:`~vivit_tpu.optim.directional_damped_newton.DirectionalDampedNewtonComputation`,
+
+plus the fully-jittable functional variants (``eigvalsh``, ``eigh_topk``,
+``directional_derivatives_topk``, ``newton_step_topk``), losses with analytic
+loss-Hessian square roots, matrix-free operators (:mod:`vivit_tpu.hessianfree`),
+and the standalone Gram primitives (:mod:`vivit_tpu.extensions`).
+"""
+
+from vivit_tpu import extensions, losses
+from vivit_tpu.ggn import (
+    batch_grad,
+    ggn_mat_prod,
+    ggn_sqrt_vt,
+    ggn_vector_product,
+    hessian_vector_product,
+)
+from vivit_tpu.linalg.eigh import EighComputation, eigh_topk
+from vivit_tpu.linalg.eigvalsh import EigvalshComputation, eigvalsh
+from vivit_tpu.linalg.utils import keep_all, keep_nonzero, keep_top_k
+from vivit_tpu.losses import CrossEntropyLoss, CustomLoss, Loss, MSELoss
+from vivit_tpu.optim.directional_damped_newton import (
+    DirectionalDampedNewtonComputation,
+    constant_damping,
+    newton_step_topk,
+)
+from vivit_tpu.optim.directional_derivatives import (
+    DirectionalDerivativesComputation,
+    directional_derivatives_topk,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EigvalshComputation",
+    "EighComputation",
+    "DirectionalDerivativesComputation",
+    "DirectionalDampedNewtonComputation",
+    "eigvalsh",
+    "eigh_topk",
+    "directional_derivatives_topk",
+    "newton_step_topk",
+    "constant_damping",
+    "keep_all",
+    "keep_top_k",
+    "keep_nonzero",
+    "Loss",
+    "MSELoss",
+    "CrossEntropyLoss",
+    "CustomLoss",
+    "losses",
+    "extensions",
+    "ggn_sqrt_vt",
+    "batch_grad",
+    "ggn_vector_product",
+    "hessian_vector_product",
+    "ggn_mat_prod",
+]

@@ -1,0 +1,85 @@
+"""Numerically stable symmetric eigendecomposition utilities.
+
+Ports the *semantics* of the reference stability module
+(vivit/utils/eig.py:6-134) to JAX: diagonal shifting for ill-conditioned PSD
+matrices, zero-eigenvalue filtering, and NaN diagnosis.  ``jnp.linalg.eigh``
+(cyclic Jacobi on TPU, LAPACK on CPU) replaces ``torch.symeig``; eigenvalues
+are returned in ascending order with eigenvectors stored column-wise, matching
+the torch convention the downstream code assumes.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def shift_diag(mat: jnp.ndarray, shift: float) -> jnp.ndarray:
+    """Return ``mat`` with ``shift`` added to its diagonal.
+
+    Reference: vivit/utils/eig.py:51-74 (the in-place variant is meaningless
+    under JAX's functional semantics and is dropped).
+    """
+    if shift == 0.0:
+        return mat
+    n = min(mat.shape)
+    return mat + shift * jnp.eye(n, dtype=mat.dtype)
+
+
+def symeig_psd(
+    mat: jnp.ndarray, shift: float = 0.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eigendecompose a PSD symmetric matrix with optional diagonal shift.
+
+    Shifting improves the condition number for nearly-singular PSD Gram
+    matrices (reference: vivit/utils/eig.py:6-48); the shift is subtracted
+    from the returned eigenvalues.
+
+    Returns:
+        ``(evals, evecs)``: ascending eigenvalues; ``evecs[:, i]`` is the
+        eigenvector of ``evals[i]``.
+    """
+    if mat.ndim != 2:
+        raise ValueError(f"Input must have dimension 2. Got {mat.ndim}.")
+    evals, evecs = jnp.linalg.eigh(shift_diag(mat, shift))
+    return evals - shift, evecs
+
+
+def symeig(
+    mat: jnp.ndarray,
+    eigenvectors: bool = False,
+    atol: float = 1e-7,
+    rtol: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eigendecompose and *filter out* pairs with eigenvalue ≈ 0.
+
+    Reference: vivit/utils/eig.py:77-108.  The filter is data-dependent, so
+    this function is host-side (not jittable); use :func:`symeig_psd` inside
+    jitted code and filter afterwards.
+    """
+    if mat.ndim != 2:
+        raise ValueError("Input must be of dimension 2")
+    evals, evecs = jnp.linalg.eigh(mat)
+    if jnp.any(jnp.isnan(evals)):
+        raise RuntimeError("Eigendecomposition produced NaNs (input may contain NaNs).")
+    if not eigenvectors:
+        evecs = jnp.zeros((0,), dtype=mat.dtype)
+    return remove_zero_evals(evals, evecs, atol=atol, rtol=rtol)
+
+
+def remove_zero_evals(
+    evals: jnp.ndarray,
+    evecs: jnp.ndarray,
+    atol: float = 1e-7,
+    rtol: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop (eval, evec) pairs whose eigenvalue is numerically zero.
+
+    Reference: vivit/utils/eig.py:111-134.  Host-side (shape-dynamic).
+    """
+    nonzero = ~jnp.isclose(evals, jnp.zeros_like(evals), rtol=rtol, atol=atol)
+    nonzero = jax.device_get(nonzero)
+    evals = evals[nonzero]
+    if evecs.size != 0:
+        evecs = evecs[:, nonzero]
+    return evals, evecs

@@ -1,0 +1,100 @@
+"""Standalone Gram-matrix primitives (the reference's "extension hooks").
+
+Functional equivalents of the five hook classes exported at reference
+vivit/extensions/hooks.py:13-19 (``CenteredBatchGrad``, ``GramBatchGrad``,
+``CenteredGramBatchGrad``, ``GramSqrtGGNExact``, ``GramSqrtGGNMC``).  In JAX
+there is no backward pass to hook into — each primitive is a pure function of
+``(params, X, y)``.
+
+Scaling conventions are BackPACK's, faithfully kept (and documented, like the
+reference pitfall note at
+vivit/extensions/firstorder/batch_grad/gram_batch_grad.py:129-148): per-sample
+gradients carry the reduction factor ``ρ`` (``1/N`` for mean), so the Gram
+entries are ``⟨ρ g_i, ρ g_j⟩``.
+"""
+
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from vivit_tpu import ggn as _ggn
+from vivit_tpu.gram import pairwise_dot
+from vivit_tpu.losses import Loss
+from vivit_tpu.utils.tree import flatten_with_paths
+
+
+def centered_batch_grad(
+    model_fn, loss: Loss, params: Any, X: jnp.ndarray, y: jnp.ndarray
+) -> Any:
+    """Per-sample gradients minus their batch mean (leaves ``[N, *shape]``).
+
+    Reference: CenteredBatchGrad (gram_batch_grad.py:7-37).
+    """
+    grads = _ggn.batch_grad(model_fn, loss, params, X, y)
+    return jax.tree_util.tree_map(lambda g: g - jnp.mean(g, axis=0), grads)
+
+
+def gram_batch_grad(
+    model_fn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    center: bool = False,
+    layerwise: bool = False,
+) -> Union[jnp.ndarray, Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]:
+    """``[N, N]`` Gram matrix of (optionally centered) per-sample gradients.
+
+    Reference: GramBatchGrad / CenteredGramBatchGrad
+    (gram_batch_grad.py:120-213).  With ``layerwise=True`` additionally
+    returns the per-parameter Gram matrices keyed by leaf path (the
+    reference's ``layerwise`` option).
+    """
+    grads = _ggn.batch_grad(model_fn, loss, params, X, y)
+    if center:
+        grads = jax.tree_util.tree_map(lambda g: g - jnp.mean(g, axis=0), grads)
+    per_leaf = {
+        path: pairwise_dot(leaf, start_dim=1)
+        for path, leaf in flatten_with_paths(grads)
+    }
+    total = sum(per_leaf.values())
+    if layerwise:
+        return total, per_leaf
+    return total
+
+
+def centered_gram_batch_grad(model_fn, loss, params, X, y, layerwise=False):
+    """Centered variant of :func:`gram_batch_grad` (reference :167-213)."""
+    return gram_batch_grad(model_fn, loss, params, X, y, center=True,
+                           layerwise=layerwise)
+
+
+def gram_sqrt_ggn(
+    model_fn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    layerwise: bool = False,
+) -> Union[jnp.ndarray, Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]:
+    """``[CF, N, CF, N]`` GGN Gram tensor accumulated over all parameters.
+
+    Reference: GramSqrtGGNExact / GramSqrtGGNMC
+    (vivit/extensions/secondorder/sqrt_ggn/gram_sqrt_ggn.py:77-143).  Flatten
+    with :func:`vivit_tpu.gram.reshape_as_square` for the ``[CF·N, CF·N]``
+    matrix whose spectrum equals the GGN's nonzero spectrum.
+    """
+    vt = _ggn.ggn_sqrt_vt(
+        model_fn, loss, params, X, y, mc_samples=mc_samples, key=key
+    )
+    per_leaf = {
+        path: pairwise_dot(leaf, start_dim=2)
+        for path, leaf in flatten_with_paths(vt)
+    }
+    total = sum(per_leaf.values())
+    if layerwise:
+        return total, per_leaf
+    return total

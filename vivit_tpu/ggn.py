@@ -1,0 +1,238 @@
+"""Core V-transform engine: the GGN square root as a JAX function transform.
+
+The generalized Gauss-Newton of ``L(θ) = ρ Σ_n ℓ(f(x_n, θ), y_n)`` (with
+``ρ = 1/N`` for mean reduction, ``1`` for sum) is
+
+    G = ρ Σ_n J_nᵀ H_n J_n = V Vᵀ,
+
+where ``J_n = ∂f(x_n,θ)/∂θ`` and ``H_n = ∂²ℓ_n/∂f²``.  With the symmetric
+factorization ``H_n = Σ_c s_{n,c} s_{n,c}ᵀ`` the columns of ``V`` are
+``v_{n,c} = √ρ · J_nᵀ s_{n,c}`` (reference math: vivit/utils/ggn.py:14-20).
+
+This module computes ``Vᵀ`` *directly as a function transform* — a vmap over
+(factor index, sample) of per-sample vector-Jacobian products — replacing the
+reference's entire BackPACK extension/hook machinery
+(vivit/extensions/secondorder/vivit/base.py:84-130, vivit/utils/hooks.py).
+Under ``jit`` XLA shares the single batched forward pass across all factor
+columns (the linearization point is independent of the cotangent) and batches
+the backward over ``[CF, S]`` — large MXU-friendly matmuls.
+
+Approximation knobs, composable exactly like the reference
+(vivit/extensions/secondorder/vivit/__init__.py:136-181,
+vivit/linalg/eigvalsh.py:217-219):
+
+* ``mc_samples > 0``: Monte-Carlo loss-Hessian factorization (``CF = M``
+  instead of ``C``),
+* ``subsampling``: restrict to sample indices ``S ⊆ {0..N-1}``; columns are
+  scaled by ``√(N/|S|)`` so ``V Vᵀ`` estimates the full-batch GGN (the
+  reference instead rescales the Gram matrix by ``N/|S|`` — same semantics),
+* block-diagonal structure is applied downstream by selecting parameter-leaf
+  subsets (see :mod:`vivit_tpu.gram`).
+"""
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vivit_tpu.losses import Loss
+from vivit_tpu.utils.checks import check_subsampling_unique
+
+ModelFn = Callable[[Any, jnp.ndarray], jnp.ndarray]
+
+
+def _subsample(X, y, subsampling):
+    if subsampling is None:
+        return X, y
+    idx = jnp.asarray(subsampling)
+    return jnp.take(X, idx, axis=0), jnp.take(y, idx, axis=0)
+
+
+def loss_hessian_sqrt(
+    loss: Loss,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    sample_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Per-sample loss-Hessian square-root factors ``[S, CF, C]``.
+
+    Exact (``mc_samples == 0``, ``CF = C``) or Monte-Carlo (``CF = M``).  MC
+    keys are derived by folding the *global sample id* into ``key`` so results
+    are invariant to how the batch is sharded across chips.
+    """
+    if mc_samples == 0:
+        return jax.vmap(loss.sqrt_hessian)(f, y)
+    if key is None:
+        raise ValueError("mc_samples > 0 requires a PRNG `key`.")
+    if sample_ids is None:
+        sample_ids = jnp.arange(f.shape[0])
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(sample_ids)
+    return jax.vmap(lambda fn, yn, kn: loss.sqrt_hessian_mc(fn, yn, kn, mc_samples))(
+        f, y, keys
+    )
+
+
+def ggn_sqrt_vt(
+    model_fn: ModelFn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    subsampling: Optional[Sequence[int]] = None,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    batch_size: Optional[int] = None,
+) -> Any:
+    """Compute ``Vᵀ`` as a pytree with leading ``[CF, S]`` axes per leaf.
+
+    Leaf shapes are ``[CF, S, *param.shape]``; flattening the trailing axes of
+    every leaf and concatenating gives the ``[CF·S, D]`` matrix ``Vᵀ`` whose
+    Gram ``Vᵀ V`` has the GGN's nonzero spectrum.
+
+    The scale ``√(ρ · N/S)`` is folded into the columns so that ``V Vᵀ``
+    equals the (sub-)sampled GGN estimate directly — no downstream rescale
+    needed (the reference splits this between BackPACK's ``√ρ`` and a Gram
+    rescale at vivit/linalg/eigvalsh.py:217-219).
+
+    Args:
+        model_fn: Batched forward ``f(params, X) -> [N, C]``.  Must be
+            per-sample separable (BatchNorm in eval mode, like the reference).
+        loss: A :class:`vivit_tpu.losses.Loss`.
+        params: Differentiated parameter pytree.
+        X, y: Full mini-batch (sub-sampling selects rows internally).
+        subsampling: Optional sample indices defining the GGN estimate.
+        mc_samples: 0 for the exact loss Hessian, else number of MC samples.
+        key: PRNG key for MC sampling.
+        batch_size: Global batch size ``N`` used for the reduction weight.
+            Defaults to ``X.shape[0]``; pass the *global* batch when ``X`` is
+            a per-chip shard.
+
+    Returns:
+        Pytree of ``Vᵀ`` blocks (same structure as ``params``).
+    """
+    check_subsampling_unique(subsampling)
+    N = batch_size if batch_size is not None else X.shape[0]
+    sample_ids = (
+        jnp.asarray(subsampling) if subsampling is not None else jnp.arange(X.shape[0])
+    )
+    Xs, ys = _subsample(X, y, subsampling)
+    S = Xs.shape[0]
+
+    f = model_fn(params, Xs)
+    factors = loss_hessian_sqrt(
+        loss, f, ys, mc_samples=mc_samples, key=key, sample_ids=sample_ids
+    )  # [S, CF, C]
+    scale = jnp.sqrt(jnp.asarray(loss.rho(N) * N / S, dtype=factors.dtype))
+    factors = factors * scale
+
+    def vt_column(x_n, s_row):
+        """One V column: J_nᵀ s — vjp of the single-sample forward."""
+        _, vjp_fn = jax.vjp(lambda p: model_fn(p, x_n[None])[0], params)
+        return vjp_fn(s_row)[0]
+
+    # Outer vmap over the factor axis, inner over samples: the forward pass
+    # inside the vjp has no factor dependence, so XLA runs it once (batched
+    # over S) and batches only the backward over [CF, S].
+    vt = jax.vmap(lambda s_col: jax.vmap(vt_column)(Xs, s_col), in_axes=1)(factors)
+    return vt
+
+
+def batch_grad(
+    model_fn: ModelFn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    subsampling: Optional[Sequence[int]] = None,
+    batch_size: Optional[int] = None,
+) -> Any:
+    """Per-sample gradients ``ρ·∇ℓ_n`` as a pytree with leading ``[S]`` axis.
+
+    Matches BackPACK's ``BatchGrad`` scaling convention: for mean reduction
+    the individual gradients carry the ``1/N`` factor (documented pitfall at
+    reference vivit/extensions/firstorder/batch_grad/gram_batch_grad.py:129-148).
+    Implemented as ``vmap(grad)`` — the idiomatic JAX per-sample gradient.
+    """
+    check_subsampling_unique(subsampling)
+    N = batch_size if batch_size is not None else X.shape[0]
+    Xs, ys = _subsample(X, y, subsampling)
+    rho = loss.rho(N)
+
+    def sample_loss(p, x_n, y_n):
+        f_n = model_fn(p, x_n[None])
+        return rho * loss.per_sample(f_n, y_n[None])[0]
+
+    return jax.vmap(lambda x_n, y_n: jax.grad(sample_loss)(params, x_n, y_n))(Xs, ys)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free curvature products (exact, not via V) — used by `hessianfree`
+# and as the test oracle's building block.
+# ---------------------------------------------------------------------------
+
+
+def ggn_vector_product(
+    model_fn: ModelFn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    v: Any,
+) -> Any:
+    """Exact GGN-vector product ``G v = Jᵀ (∂²L/∂f²) J v`` (one jvp + one vjp).
+
+    TPU-native replacement for BackPACK's
+    ``ggn_vector_product_from_plist`` (reference: vivit/hessianfree/__init__.py:300-318).
+    """
+    f, jv = jax.jvp(lambda p: model_fn(p, X), (params,), (v,))
+    hjv = loss.hessian_vp(f, y, jv)
+    _, vjp_fn = jax.vjp(lambda p: model_fn(p, X), params)
+    return vjp_fn(hjv)[0]
+
+
+def hessian_vector_product(
+    model_fn: ModelFn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    v: Any,
+) -> Any:
+    """Exact Hessian-vector product via forward-over-reverse autodiff.
+
+    Replaces BackPACK's double-backprop ``hessian_vector_product``
+    (reference: vivit/hessianfree/__init__.py:280-297) with the jvp-of-grad
+    form, which XLA compiles to a single fused pass.
+    """
+
+    def total_loss(p):
+        return loss(model_fn(p, X), y)
+
+    return jax.jvp(jax.grad(total_loss), (params,), (v,))[1]
+
+
+def ggn_mat_prod(
+    model_fn: ModelFn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    mat: Any,
+    *,
+    subsampling: Optional[Sequence[int]] = None,
+) -> Any:
+    """Multiply stacked vectors (leading axis per leaf) by the exact GGN.
+
+    With ``subsampling`` the GGN of the sub-batch (with its own reduction
+    weight) is applied — mirroring the reference oracle
+    (test/implementation/autograd.py:264-312).
+    """
+    Xs, ys = _subsample(X, y, subsampling)
+    return jax.vmap(
+        lambda v: ggn_vector_product(model_fn, loss, params, Xs, ys, v)
+    )(mat)

@@ -1,0 +1,172 @@
+"""Gram-space tensor algebra: contractions, back-projection, normalization.
+
+TPU-native replacement for the reference einsum kernel library
+(vivit/utils/gram.py, vivit/utils/ggn.py).  The key difference: instead of
+per-parameter einsums with a generated letter alphabet
+(vivit/utils/gram.py:38-55), every contraction here is *flattened to a 2-D
+matmul* ``[CF·S, D_leaf]`` so XLA tiles it straight onto the MXU.  The Gram
+build optionally routes through a Pallas SYRK kernel that exploits symmetry
+(upper-triangle blocks only — see :mod:`vivit_tpu.kernels.syrk`).
+
+Layout convention (same as the reference): the Gram index is ``(c, n)``
+c-major, i.e. ``flat = c * S + n`` — reference ``reshape_as_square`` of the
+``[C, N, C, N]`` tensor (vivit/utils/gram.py:58-69) and eigenvector reshape to
+``[K, C, N]`` (vivit/linalg/eigh.py:264-265).
+"""
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vivit_tpu.utils.tree import flatten_with_paths, select_paths
+
+DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _leaf_mats(vt: Any, paths: Optional[Sequence[str]] = None) -> List[jnp.ndarray]:
+    """Flatten selected ``Vᵀ`` leaves ``[CF, S, *shape]`` to ``[CF·S, D_leaf]``."""
+    pairs = flatten_with_paths(vt) if paths is None else select_paths(vt, paths)
+    mats = []
+    for _, leaf in pairs:
+        cf, s = leaf.shape[:2]
+        mats.append(jnp.reshape(leaf, (cf * s, -1)))
+    return mats
+
+
+def gram_matrix(
+    vt: Any,
+    paths: Optional[Sequence[str]] = None,
+    precision=DEFAULT_PRECISION,
+    use_syrk: bool = False,
+) -> jnp.ndarray:
+    """Gram matrix ``G̃ = Vᵀ V = Σ_p (Vᵀ)_p (Vᵀ)_pᵀ`` of shape ``[CF·S, CF·S]``.
+
+    Equivalent to accumulating the reference's per-parameter ``gram_mat()``
+    closures (vivit/extensions/secondorder/vivit/base.py:118-124,
+    vivit/linalg/eigvalsh.py:170-183) — but as one batched rank-``D`` update
+    per leaf on the MXU.  ``use_syrk=True`` dispatches the contraction to the
+    Pallas symmetric rank-k kernel (half the FLOPs).
+
+    Accumulation is in float32 regardless of ``vt`` dtype.
+    """
+    mats = _leaf_mats(vt, paths)
+    if use_syrk:
+        from vivit_tpu.kernels.syrk import syrk
+
+        return sum(syrk(m) for m in mats)
+    out = None
+    for m in mats:
+        g = jnp.dot(
+            m, m.T, precision=precision, preferred_element_type=jnp.float32
+        )
+        out = g if out is None else out + g
+    return out
+
+
+def reshape_as_square(mat: jnp.ndarray) -> jnp.ndarray:
+    """Reshape a ``[CF, S, CF, S]`` (or any even-rank) tensor to a square matrix.
+
+    Reference: vivit/utils/gram.py:58-69.
+    """
+    dim = int(np.sqrt(np.prod(mat.shape)))
+    return jnp.reshape(mat, (dim, dim))
+
+
+def pairwise_dot(t: jnp.ndarray, start_dim: int = 1, precision=DEFAULT_PRECISION):
+    """Pairwise dot products over trailing dims (reference vivit/utils/gram.py:9-35).
+
+    Input ``[d_1, ..., d_k, *]`` with ``start_dim = k`` yields the Gram tensor
+    ``[d_1, ..., d_k, d_1, ..., d_k]``.
+    """
+    lead = t.shape[:start_dim]
+    flat = jnp.reshape(t, (int(np.prod(lead)), -1))
+    g = jnp.dot(flat, flat.T, precision=precision, preferred_element_type=jnp.float32)
+    return jnp.reshape(g, (*lead, *lead))
+
+
+def partial_contract(
+    a: jnp.ndarray, b: jnp.ndarray, start_dims: Tuple[int, int],
+    precision=DEFAULT_PRECISION,
+) -> jnp.ndarray:
+    """Generalized dot: contract trailing dims of ``a`` and ``b``.
+
+    Reference: vivit/utils/gram.py:206-232.  Output shape is the leading dims
+    of ``a`` followed by the leading dims of ``b``.
+    """
+    lead_a, lead_b = a.shape[: start_dims[0]], b.shape[: start_dims[1]]
+    fa = jnp.reshape(a, (int(np.prod(lead_a)), -1))
+    fb = jnp.reshape(b, (int(np.prod(lead_b)), -1))
+    g = jnp.dot(fa, fb.T, precision=precision, preferred_element_type=jnp.float32)
+    return jnp.reshape(g, (*lead_a, *lead_b))
+
+
+def v_mat_prod(
+    vt: Any,
+    gram_vecs: jnp.ndarray,
+    paths: Optional[Sequence[str]] = None,
+    precision=DEFAULT_PRECISION,
+) -> Any:
+    """Back-project Gram-space vectors into parameter space: ``V @ ẽ``.
+
+    Args:
+        vt: ``Vᵀ`` pytree with leaves ``[CF, S, *shape]``.
+        gram_vecs: ``[K, CF, S]`` stacked Gram-space vectors (or ``[K, CF·S]``).
+        paths: Restrict to a parameter-group subset.
+
+    Returns:
+        ``(paths, leaves)`` where each leaf has shape ``[K, *param.shape]`` —
+        the reference's per-param ``V_mat_prod`` closures applied across the
+        group (vivit/extensions/secondorder/vivit/base.py:96-105,
+        vivit/linalg/eigh.py:267-270).
+    """
+    pairs = flatten_with_paths(vt) if paths is None else select_paths(vt, paths)
+    k = gram_vecs.shape[0]
+    gv = jnp.reshape(gram_vecs, (k, -1))  # [K, CF·S]
+    out_paths, out_leaves = [], []
+    for p, leaf in pairs:
+        cf, s = leaf.shape[:2]
+        flat = jnp.reshape(leaf, (cf * s, -1))  # [CF·S, D]
+        proj = jnp.dot(
+            gv, flat, precision=precision, preferred_element_type=jnp.float32
+        )
+        out_paths.append(p)
+        out_leaves.append(jnp.reshape(proj, (k, *leaf.shape[2:])).astype(leaf.dtype))
+    return out_paths, out_leaves
+
+
+def vt_mat_prod(
+    vt: Any,
+    mat_leaves: Sequence[jnp.ndarray],
+    paths: Optional[Sequence[str]] = None,
+    precision=DEFAULT_PRECISION,
+) -> jnp.ndarray:
+    """Project stacked parameter-space vectors into Gram space: ``Vᵀ @ m``.
+
+    ``mat_leaves`` are ``[K, *param.shape]`` arrays aligned with the (selected)
+    ``vt`` leaves.  Returns ``[CF·S, K]``.  Reference: ``V_t_mat_prod``
+    closures + ``mVp`` (vivit/utils/gram.py:182-203).
+    """
+    pairs = flatten_with_paths(vt) if paths is None else select_paths(vt, paths)
+    out = None
+    for (p, leaf), m in zip(pairs, mat_leaves):
+        cf, s = leaf.shape[:2]
+        flat = jnp.reshape(leaf, (cf * s, -1))
+        fm = jnp.reshape(m, (m.shape[0], -1))
+        r = jnp.dot(
+            flat, fm.T, precision=precision, preferred_element_type=jnp.float32
+        )
+        out = r if out is None else out + r
+    return out
+
+
+def normalize(leaves: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Normalize stacked vectors in parameter-list format by their global norm.
+
+    Reference: vivit/linalg/utils.py:67-76.  Each ``leaves[i]`` is
+    ``[K, *shape]``; vector ``k`` is spread across all leaves.
+    """
+    sq = sum(jnp.sum(jnp.reshape(l**2, (l.shape[0], -1)), axis=1) for l in leaves)
+    inv = 1.0 / jnp.sqrt(sq)
+    return [l * jnp.reshape(inv, (-1,) + (1,) * (l.ndim - 1)) for l in leaves]

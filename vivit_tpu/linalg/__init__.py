@@ -1,0 +1,6 @@
+"""Linear algebra computation API (reference vivit/linalg/)."""
+
+from vivit_tpu.linalg.eigh import EighComputation, eigh_topk
+from vivit_tpu.linalg.eigvalsh import EigvalshComputation, eigvalsh
+
+__all__ = ["EighComputation", "EigvalshComputation", "eigh_topk", "eigvalsh"]

@@ -1,0 +1,134 @@
+"""GGN block eigenvalues via the NC×NC Gram matrix.
+
+TPU-native redesign of ``EigvalshComputation`` (reference:
+vivit/linalg/eigvalsh.py:20-237).  The reference piggybacks on a BackPACK
+backward pass with per-parameter hooks and a group scheduler; here the whole
+pipeline — ``Vᵀ`` transform, per-group Gram contraction, symmetric
+eigendecomposition — is one pure jitted function.  Incremental buffer freeing
+(reference vivit/utils/__init__.py:8-19) is inherited from XLA liveness
+analysis: each ``Vᵀ`` leaf dies right after its Gram contraction.
+
+Semantics match the reference exactly:
+
+* eigenvalues of the block Gram matrix ``G̃ = Vᵀ V`` in ascending order
+  (all ``CF·S`` of them, no filtering),
+* sub-sampling rescale ``N/|S|`` (folded into ``V`` here, applied to the Gram
+  matrix at reference vivit/linalg/eigvalsh.py:217-219 — same spectrum),
+* MC approximation via ``mc_samples``.
+"""
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from vivit_tpu.ggn import ggn_sqrt_vt
+from vivit_tpu.gram import gram_matrix
+from vivit_tpu.linalg.utils import resolve_param_groups
+from vivit_tpu.losses import Loss
+from vivit_tpu.utils.checks import check_subsampling_unique
+
+
+def eigvalsh(
+    model_fn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    group_paths: Sequence[Sequence[str]],
+    subsampling: Optional[Sequence[int]] = None,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    batch_size: Optional[int] = None,
+    use_syrk: bool = False,
+):
+    """Functional core: tuple of ascending eigenvalue arrays, one per group.
+
+    Pure and jittable (wrap in ``jax.jit`` with everything except
+    ``params, X, y, key`` closed over).
+    """
+    vt = ggn_sqrt_vt(
+        model_fn,
+        loss,
+        params,
+        X,
+        y,
+        subsampling=subsampling,
+        mc_samples=mc_samples,
+        key=key,
+        batch_size=batch_size,
+    )
+    return tuple(
+        jnp.linalg.eigvalsh(gram_matrix(vt, paths=paths, use_syrk=use_syrk))
+        for paths in group_paths
+    )
+
+
+class EigvalshComputation:
+    """Compute GGN block eigenvalues (reference vivit/linalg/eigvalsh.py:20).
+
+    Example:
+        >>> comp = EigvalshComputation(model_fn, loss)
+        >>> evals = comp.compute(params, X, y, param_groups)  # list per group
+        >>> comp.get_result(param_groups[0])                  # reference-style
+    """
+
+    def __init__(
+        self,
+        model_fn,
+        loss: Loss,
+        subsampling: Optional[Sequence[int]] = None,
+        mc_samples: int = 0,
+        verbose: bool = False,
+    ):
+        check_subsampling_unique(subsampling)
+        self._model_fn = model_fn
+        self._loss = loss
+        self._subsampling = None if subsampling is None else tuple(subsampling)
+        self._mc_samples = mc_samples
+        self._verbose = verbose
+        self._jit_cache: Dict = {}
+        self._evals: Dict[int, jnp.ndarray] = {}
+
+    def _get_fn(self, group_paths):
+        cache_key = group_paths
+        if cache_key not in self._jit_cache:
+            fn = partial(
+                eigvalsh,
+                self._model_fn,
+                self._loss,
+                group_paths=group_paths,
+                subsampling=self._subsampling,
+                mc_samples=self._mc_samples,
+            )
+            self._jit_cache[cache_key] = jax.jit(
+                lambda params, X, y, key: fn(params, X, y, key=key)
+            )
+        return self._jit_cache[cache_key]
+
+    def compute(
+        self,
+        params: Any,
+        X: jnp.ndarray,
+        y: jnp.ndarray,
+        param_groups: Optional[List[Dict]] = None,
+        key: Optional[jax.Array] = None,
+    ) -> List[jnp.ndarray]:
+        """Run the computation; returns eigenvalues per group (ascending)."""
+        param_groups = resolve_param_groups(params, param_groups)
+        group_paths = tuple(tuple(g["params"]) for g in param_groups)
+        if self._verbose:
+            print(f"EigvalshComputation: groups {group_paths}")
+        results = self._get_fn(group_paths)(params, X, y, key)
+        for group, evals in zip(param_groups, results):
+            self._evals[id(group)] = evals
+        return list(results)
+
+    def get_result(self, group: Dict) -> jnp.ndarray:
+        """Reference-compatible result access (vivit/linalg/eigvalsh.py:53-68)."""
+        try:
+            return self._evals[id(group)]
+        except KeyError as e:
+            raise KeyError("No results available for this group") from e

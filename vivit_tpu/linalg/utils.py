@@ -1,0 +1,92 @@
+"""Shared helpers for the computation API layer."""
+
+import warnings
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from vivit_tpu.utils.checks import (
+    check_key_exists,
+    check_params_exist,
+    check_subsampling_unique,
+    check_unique_params,
+)
+from vivit_tpu.utils.tree import leaf_paths
+
+SMALL_EIGVALS_WARNING = (
+    "Some eigenvalues are small. Computations that divide by their square root"
+    " (eigenvector transformation into parameter space, directional gradients)"
+    " are numerically unstable."
+    " Maybe use a more restrictive eigenvalue filter criterion."
+)
+
+
+def resolve_param_groups(
+    params: Any,
+    param_groups: Optional[List[Dict]],
+    required_keys: Sequence[str] = ("params",),
+) -> List[Dict]:
+    """Normalize and validate ``param_groups``.
+
+    ``None`` becomes a single group containing every leaf path.  Validation
+    mirrors the reference (vivit/linalg/eigvalsh.py:229-237,
+    vivit/utils/checks.py): required keys present, paths exist, no duplicates.
+    """
+    if param_groups is None:
+        param_groups = [{"params": leaf_paths(params)}]
+        if "criterion" in required_keys:
+            param_groups[0]["criterion"] = keep_all
+        if "damping" in required_keys:
+            raise ValueError("param_groups with a 'damping' entry are required.")
+    for key in required_keys:
+        check_key_exists(param_groups, key)
+    check_unique_params(param_groups)
+    check_params_exist(param_groups, params)
+    return param_groups
+
+
+def keep_all(evals) -> List[int]:
+    """Criterion keeping every direction."""
+    return list(range(int(np.asarray(evals).shape[0])))
+
+
+def keep_top_k(k: int, must_exceed: float = 0.0) -> Callable:
+    """Criterion keeping the ``k`` largest eigenvalues above ``must_exceed``.
+
+    Mirrors the reference test criterion (test/optim/settings.py:21-51):
+    eigenvalues arrive in ascending order; indices of the top-k that exceed
+    the floor are returned.
+    """
+
+    def criterion(evals) -> List[int]:
+        ev = np.asarray(evals)
+        num = ev.shape[0]
+        candidates = [i for i in range(num) if ev[i] > must_exceed]
+        return candidates[-k:] if k < len(candidates) else candidates
+
+    return criterion
+
+
+def keep_nonzero(atol: float = 1e-7, rtol: float = 1e-5) -> Callable:
+    """Criterion dropping numerically-zero eigenvalues.
+
+    Same filter semantics as reference ``remove_zero_evals``
+    (vivit/utils/eig.py:111-134), expressed as a criterion.
+    """
+
+    def criterion(evals) -> List[int]:
+        ev = np.asarray(evals)
+        keep = ~np.isclose(ev, 0.0, rtol=rtol, atol=atol)
+        return [i for i in range(ev.shape[0]) if keep[i]]
+
+    return criterion
+
+
+def warn_if_small(evals, threshold: float) -> None:
+    """Emit the reference's small-eigenvalue instability warning.
+
+    Reference: vivit/linalg/eigh.py:255-262,
+    vivit/optim/directional_derivatives.py:308-315.
+    """
+    if threshold and bool(np.any(np.abs(np.asarray(evals)) < threshold)):
+        warnings.warn(SMALL_EIGVALS_WARNING)

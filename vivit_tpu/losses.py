@@ -1,0 +1,184 @@
+"""Loss functions with analytic loss-Hessian square roots.
+
+This module replaces the reference's dependency on BackPACK's second-order
+loss derivatives (reference: vivit/extensions/secondorder/vivit/__init__.py:84-118
+maps ``MSELoss``/``CrossEntropyLoss`` to BackPACK derivative classes carrying
+``LossHessianStrategy.EXACT/SAMPLING``).  Here each loss is a small object that
+knows, per sample,
+
+* its value under a given ``reduction`` ("mean" or "sum", torch semantics),
+* an exact symmetric factorization ``H = Σ_c s_c s_cᵀ`` of the loss Hessian
+  w.r.t. the model output (rows of :meth:`sqrt_hessian`),
+* a Monte-Carlo sampler producing ``s̃_m`` with ``E[Σ_m s̃_m s̃_mᵀ] = H``
+  (:meth:`sqrt_hessian_mc`),
+* a Hessian-vector product for matrix-free GGN products.
+
+Conventions (identical to torch / the reference test oracle,
+reference: test/problem.py ``compute_reduction_factor``):
+
+* The *per-sample loss* ``ℓ_n`` is the loss evaluated on the single sample
+  with the same ``reduction`` applied to a singleton batch.  The total loss is
+  ``L = ρ Σ_n ℓ_n`` with ``ρ = 1/N`` (mean) or ``ρ = 1`` (sum).
+* For ``MSELoss`` with ``reduction="mean"`` torch divides by ``N·C``, so
+  ``ℓ_n = (1/C) Σ_c (f_c − y_c)²`` and ``ρ = 1/N`` still holds.
+
+Everything is a pure function of ``(f, y)`` so it traces cleanly under
+``jit``/``vmap``/``shard_map``.
+"""
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class Loss:
+    """Base class: reduction bookkeeping plus generic autodiff fallbacks."""
+
+    def __init__(self, reduction: str = "mean"):
+        if reduction not in ("mean", "sum"):
+            raise ValueError(f"reduction must be 'mean' or 'sum', got {reduction!r}")
+        self.reduction = reduction
+
+    # -- values ------------------------------------------------------------
+    def per_sample(self, f: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """Per-sample losses ``ℓ_n`` (singleton-batch reduction semantics)."""
+        raise NotImplementedError
+
+    def __call__(self, f: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        ell = self.per_sample(f, y)
+        return jnp.mean(ell) if self.reduction == "mean" else jnp.sum(ell)
+
+    def rho(self, batch_size: int) -> float:
+        """Reduction weight ``ρ`` with ``L = ρ Σ_n ℓ_n``."""
+        return 1.0 / batch_size if self.reduction == "mean" else 1.0
+
+    # -- second-order factors ------------------------------------------------
+    def sqrt_hessian(self, f_n: jnp.ndarray, y_n: jnp.ndarray) -> jnp.ndarray:
+        """Exact factor ``S`` with rows ``s_c`` s.t. ``∂²ℓ_n/∂f² = Σ_c s_c s_cᵀ``.
+
+        Args:
+            f_n: Model output for one sample, shape ``[C]``.
+            y_n: Target for one sample.
+
+        Returns:
+            ``[C, C]`` matrix (rows are the factor vectors).
+        """
+        # Generic fallback: eigendecompose the per-sample loss Hessian.  The
+        # registered losses override this with cheap analytic expressions.
+        hess = jax.hessian(lambda f: self.per_sample(f[None], y_n[None])[0])(f_n)
+        evals, evecs = jnp.linalg.eigh(hess)
+        evals = jnp.clip(evals, 0.0, None)  # PSD projection for convex losses
+        return (evecs * jnp.sqrt(evals)[None, :]).T
+
+    def sqrt_hessian_mc(
+        self, f_n: jnp.ndarray, y_n: jnp.ndarray, key: jax.Array, mc_samples: int
+    ) -> jnp.ndarray:
+        """MC factor ``[M, C]`` with ``E[Σ_m s̃_m s̃_mᵀ] = ∂²ℓ_n/∂f²``."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support MC sampling."
+        )
+
+    # -- Hessian-vector product (w.r.t. the *total* reduced loss) -----------
+    def hessian_vp(
+        self, f: jnp.ndarray, y: jnp.ndarray, t: jnp.ndarray
+    ) -> jnp.ndarray:
+        """``(∂²L/∂f²) @ t`` for batched output ``f`` and tangent ``t``.
+
+        Generic forward-over-reverse implementation; registered losses may
+        override with analytic expressions (XLA fuses either way).
+        """
+        grad_fn = jax.grad(lambda ff: self(ff, y))
+        return jax.jvp(grad_fn, (f,), (t,))[1]
+
+
+class MSELoss(Loss):
+    """Mean squared error with torch ``MSELoss`` semantics.
+
+    ``reduction="mean"``: ``L = 1/(N·C) Σ_{n,c} (f − y)²``;
+    ``reduction="sum"``:  ``L = Σ_{n,c} (f − y)²``.
+
+    Per-sample Hessian: ``H = h·I`` with ``h = 2/C`` (mean) or ``2`` (sum).
+    """
+
+    def per_sample(self, f, y):
+        sq = (f - y) ** 2
+        sq = sq.reshape(sq.shape[0], -1)
+        per = jnp.sum(sq, axis=1)
+        if self.reduction == "mean":
+            per = per / sq.shape[1]
+        return per
+
+    def _h(self, num_classes: int) -> float:
+        return 2.0 / num_classes if self.reduction == "mean" else 2.0
+
+    def sqrt_hessian(self, f_n, y_n):
+        (c,) = f_n.shape
+        return jnp.sqrt(self._h(c)) * jnp.eye(c, dtype=f_n.dtype)
+
+    def sqrt_hessian_mc(self, f_n, y_n, key, mc_samples):
+        (c,) = f_n.shape
+        eps = jax.random.normal(key, (mc_samples, c), dtype=f_n.dtype)
+        return jnp.sqrt(self._h(c) / mc_samples) * eps
+
+    def hessian_vp(self, f, y, t):
+        n = f.shape[0]
+        c = int(jnp.size(f) // n)
+        scale = 2.0 / (n * c) if self.reduction == "mean" else 2.0
+        return scale * t
+
+
+class CrossEntropyLoss(Loss):
+    """Softmax cross-entropy with integer targets (torch ``CrossEntropyLoss``).
+
+    Per-sample Hessian w.r.t. logits: ``H = diag(p) − p pᵀ`` with
+    ``p = softmax(f)``.  Exact factorization rows: ``s_c = √p_c (e_c − p)``
+    (verify: ``Σ_c p_c (e_c − p)(e_c − p)ᵀ = diag(p) − p pᵀ``).
+    """
+
+    def per_sample(self, f, y):
+        logp = jax.nn.log_softmax(f, axis=-1)
+        return -jnp.take_along_axis(logp, y[:, None].astype(jnp.int32), axis=-1)[:, 0]
+
+    def sqrt_hessian(self, f_n, y_n):
+        p = jax.nn.softmax(f_n)
+        (c,) = f_n.shape
+        return jnp.sqrt(p)[:, None] * (jnp.eye(c, dtype=f_n.dtype) - p[None, :])
+
+    def sqrt_hessian_mc(self, f_n, y_n, key, mc_samples):
+        p = jax.nn.softmax(f_n)
+        (c,) = f_n.shape
+        labels = jax.random.categorical(
+            key, jnp.log(p + 1e-30)[None, :].repeat(mc_samples, axis=0), axis=-1
+        )
+        onehot = jax.nn.one_hot(labels, c, dtype=f_n.dtype)
+        # s̃_m = (p − e_ỹ)/√M  — gradient of ℓ(f, ỹ) at a sampled label.
+        return (p[None, :] - onehot) / jnp.sqrt(float(mc_samples))
+
+    def hessian_vp(self, f, y, t):
+        p = jax.nn.softmax(f, axis=-1)
+        hv = p * t - p * jnp.sum(p * t, axis=-1, keepdims=True)
+        if self.reduction == "mean":
+            hv = hv / f.shape[0]
+        return hv
+
+
+class CustomLoss(Loss):
+    """Wrap an arbitrary convex per-sample loss ``ℓ(f_n, y_n) -> scalar``.
+
+    The exact square-root factor is obtained by eigendecomposing the
+    ``[C, C]`` per-sample Hessian (generic path in :class:`Loss`); MC sampling
+    is unavailable.  This exceeds the reference, which only supports the
+    losses BackPACK implements (reference: vivit/optim/utils.py:8-25).
+    """
+
+    def __init__(
+        self,
+        per_sample_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+        reduction: str = "mean",
+    ):
+        super().__init__(reduction)
+        self._fn = per_sample_fn
+
+    def per_sample(self, f, y):
+        return jax.vmap(self._fn)(f, y)

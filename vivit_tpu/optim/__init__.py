@@ -1,0 +1,19 @@
+"""Second-order optimization API (reference vivit/optim/)."""
+
+from vivit_tpu.optim.directional_damped_newton import (
+    DirectionalDampedNewtonComputation,
+    constant_damping,
+    newton_step_topk,
+)
+from vivit_tpu.optim.directional_derivatives import (
+    DirectionalDerivativesComputation,
+    directional_derivatives_topk,
+)
+
+__all__ = [
+    "DirectionalDampedNewtonComputation",
+    "DirectionalDerivativesComputation",
+    "constant_damping",
+    "newton_step_topk",
+    "directional_derivatives_topk",
+]

@@ -1,0 +1,149 @@
+"""First/second-order directional derivatives along GGN eigenvectors.
+
+TPU-native redesign of ``DirectionalDerivativesComputation`` (reference:
+vivit/optim/directional_derivatives.py:24-364).  See
+:mod:`vivit_tpu.optim.utils` for the math and scaling conventions; the
+reference's two-extension backward pass (``BatchGrad`` + ``SqrtGGN``)
+becomes a single jitted stage combining ``vmap(grad)`` with the ``Vᵀ``
+transform.
+"""
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vivit_tpu.linalg.utils import resolve_param_groups, warn_if_small
+from vivit_tpu.losses import Loss
+from vivit_tpu.optim.utils import derivatives_stage1, gammas_lambdas
+from vivit_tpu.utils.checks import check_subsampling_unique
+
+
+def directional_derivatives_topk(
+    model_fn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    k: int,
+    *,
+    paths: Optional[Sequence[str]] = None,
+    subsampling_grad: Optional[Sequence[int]] = None,
+    subsampling_ggn: Optional[Sequence[int]] = None,
+    mc_samples_ggn: int = 0,
+    key: Optional[jax.Array] = None,
+    batch_size: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fully-jittable ``(evals, γ, λ)`` along the top-``k`` GGN directions."""
+    from vivit_tpu.utils.tree import leaf_paths
+
+    if paths is None:
+        paths = tuple(leaf_paths(params))
+    n = batch_size if batch_size is not None else X.shape[0]
+    s_ggn = len(subsampling_ggn) if subsampling_ggn is not None else n
+    _, per_group = derivatives_stage1(
+        model_fn, loss, params, X, y,
+        group_paths=(tuple(paths),),
+        subsampling_grad=subsampling_grad,
+        subsampling_ggn=subsampling_ggn,
+        mc_samples_ggn=mc_samples_ggn,
+        key=key,
+        batch_size=batch_size,
+    )
+    gram, evals, evecs, v_t_g = per_group[0]
+    gammas, lambdas = gammas_lambdas(
+        gram, evals[-k:], evecs[:, -k:], v_t_g, s_ggn
+    )
+    return evals[-k:], gammas, lambdas
+
+
+class DirectionalDerivativesComputation:
+    """γ/λ along GGN eigenvectors (reference dir_derivatives.py:24).
+
+    Result per group: ``(gammas [N_grad, K], lambdas [S_ggn, K])`` where
+    ``γ[n, k] = g_nᵀ e_k`` and ``λ[n, k] = e_kᵀ (J_nᵀ H_n J_n) e_k``.
+    """
+
+    def __init__(
+        self,
+        model_fn,
+        loss: Loss,
+        subsampling_grad: Optional[Sequence[int]] = None,
+        subsampling_ggn: Optional[Sequence[int]] = None,
+        mc_samples_ggn: int = 0,
+        verbose: bool = False,
+        warn_small_eigvals: float = 1e-4,
+    ):
+        check_subsampling_unique(subsampling_grad)
+        check_subsampling_unique(subsampling_ggn)
+        self._model_fn = model_fn
+        self._loss = loss
+        self._subsampling_grad = (
+            None if subsampling_grad is None else tuple(subsampling_grad)
+        )
+        self._subsampling_ggn = (
+            None if subsampling_ggn is None else tuple(subsampling_ggn)
+        )
+        self._mc_samples_ggn = mc_samples_ggn
+        self._verbose = verbose
+        self._warn_small_eigvals = warn_small_eigvals
+        self._jit_cache: Dict = {}
+        self._gammas: Dict[int, jnp.ndarray] = {}
+        self._lambdas: Dict[int, jnp.ndarray] = {}
+
+    def _get_fn(self, group_paths):
+        if group_paths not in self._jit_cache:
+            fn = partial(
+                derivatives_stage1,
+                self._model_fn,
+                self._loss,
+                group_paths=group_paths,
+                subsampling_grad=self._subsampling_grad,
+                subsampling_ggn=self._subsampling_ggn,
+                mc_samples_ggn=self._mc_samples_ggn,
+            )
+            self._jit_cache[group_paths] = jax.jit(
+                lambda params, X, y, key: fn(params, X, y, key=key)
+            )
+        return self._jit_cache[group_paths]
+
+    def compute(
+        self,
+        params: Any,
+        X: jnp.ndarray,
+        y: jnp.ndarray,
+        param_groups: List[Dict],
+        key: Optional[jax.Array] = None,
+    ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Run the computation; returns ``(gammas, lambdas)`` per group."""
+        param_groups = resolve_param_groups(
+            params, param_groups, required_keys=("params", "criterion")
+        )
+        group_paths = tuple(tuple(g["params"]) for g in param_groups)
+        s_ggn = (
+            len(self._subsampling_ggn)
+            if self._subsampling_ggn is not None
+            else X.shape[0]
+        )
+        _, per_group = self._get_fn(group_paths)(params, X, y, key)
+
+        results = []
+        for group, (gram, evals, evecs, v_t_g) in zip(param_groups, per_group):
+            keep = np.asarray(group["criterion"](np.asarray(evals)))
+            evals_sel, evecs_sel = evals[keep], evecs[:, keep]
+            warn_if_small(evals_sel, self._warn_small_eigvals)
+            gammas, lambdas = gammas_lambdas(gram, evals_sel, evecs_sel, v_t_g, s_ggn)
+            self._gammas[id(group)] = gammas
+            self._lambdas[id(group)] = lambdas
+            results.append((gammas, lambdas))
+        return results
+
+    def get_result(self, group: Dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Reference-compatible access (dir_derivatives.py:94-117)."""
+        group_id = id(group)
+        try:
+            return self._gammas[group_id], self._lambdas[group_id]
+        except KeyError as e:
+            raise KeyError("No results available for this group") from e

@@ -1,0 +1,106 @@
+"""Shared machinery for directional-derivative computations.
+
+Implements the Gram-space pipeline common to
+``DirectionalDerivativesComputation`` and
+``DirectionalDampedNewtonComputation`` (reference:
+vivit/optim/directional_derivatives.py:215-325,
+vivit/optim/directional_damped_newton.py:215-379) as pure functions.
+
+Math (mean reduction, ``ρ = 1/N``; the reference requires this too):
+
+* ``V`` columns are ``√(1/S_ggn) · J_nᵀ s_{n,c}`` over the GGN sub-sample —
+  the reference's ``V_correction = √(N/N_ggn)`` (dir_derivatives.py:285-287)
+  is already folded in by :func:`vivit_tpu.ggn.ggn_sqrt_vt`.
+* ``γ[n, k] = g_nᵀ e_k = (Vᵀ g_n)ᵀ ẽ_k / √λ̃_k`` with the *unscaled*
+  per-sample gradient ``g_n = ∇ℓ_n`` (the reference multiplies BackPACK's
+  ``1/N``-scaled gradients by ``N`` at dir_derivatives.py:301-305).
+* ``λ[n, k] = e_kᵀ (J_nᵀ H_n J_n) e_k = S_ggn · ‖G̃[(:, n), :] ẽ_k‖² / λ̃_k``
+  (dir_derivatives.py:322-325 with ``N_ggn = S_ggn``).
+"""
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vivit_tpu.ggn import batch_grad, ggn_sqrt_vt
+from vivit_tpu.gram import gram_matrix, vt_mat_prod
+from vivit_tpu.losses import Loss
+from vivit_tpu.utils.tree import select_paths
+
+
+def derivatives_stage1(
+    model_fn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    group_paths: Sequence[Sequence[str]],
+    subsampling_grad: Optional[Sequence[int]],
+    subsampling_ggn: Optional[Sequence[int]],
+    mc_samples_ggn: int,
+    key: Optional[jax.Array],
+    batch_size: Optional[int] = None,
+    use_syrk: bool = False,
+):
+    """Jittable stage 1: ``Vᵀ``, per-group Gram eigendecomposition, ``Vᵀ G``.
+
+    Returns ``(vt, per_group)`` where each per-group entry is
+    ``(gram [CFS, CFS], evals [CFS], evecs [CFS, CFS], V_t_g [CFS, N_grad])``.
+    """
+    if loss.reduction != "mean":
+        raise ValueError(
+            "Directional derivatives require reduction='mean' "
+            "(same restriction as the reference)."
+        )
+    N = batch_size if batch_size is not None else X.shape[0]
+    vt = ggn_sqrt_vt(
+        model_fn, loss, params, X, y,
+        subsampling=subsampling_ggn, mc_samples=mc_samples_ggn, key=key,
+        batch_size=N,
+    )
+    grads = batch_grad(
+        model_fn, loss, params, X, y, subsampling=subsampling_grad, batch_size=N
+    )
+    # undo the 1/N BatchGrad convention → unscaled per-sample gradients ∇ℓ_n
+    grads = jax.tree_util.tree_map(lambda g: g * N, grads)
+
+    per_group = []
+    for paths in group_paths:
+        gram = gram_matrix(vt, paths=paths, use_syrk=use_syrk)
+        evals, evecs = jnp.linalg.eigh(gram)
+        grad_leaves = [leaf for _, leaf in select_paths(grads, paths)]
+        v_t_g = vt_mat_prod(vt, grad_leaves, paths=paths)
+        per_group.append((gram, evals, evecs, v_t_g))
+    return vt, tuple(per_group)
+
+
+def gammas_lambdas(
+    gram: jnp.ndarray,
+    evals_sel: jnp.ndarray,
+    evecs_sel: jnp.ndarray,
+    v_t_g: jnp.ndarray,
+    s_ggn: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stage 2: directional derivatives from Gram-space quantities.
+
+    Args:
+        gram: ``[CF·S, CF·S]`` group Gram matrix.
+        evals_sel: ``[K]`` selected eigenvalues.
+        evecs_sel: ``[CF·S, K]`` selected Gram eigenvectors (column-stacked).
+        v_t_g: ``[CF·S, N_grad]`` projections ``Vᵀ g_n``.
+        s_ggn: Number of GGN samples ``S`` (static).
+
+    Returns:
+        ``gammas [N_grad, K]`` and ``lambdas [S, K]``.
+    """
+    inv_sqrt = 1.0 / jnp.sqrt(evals_sel)
+    gammas = jnp.einsum("in,ik->nk", v_t_g, evecs_sel) * inv_sqrt[None, :]
+
+    cfs = gram.shape[0]
+    cf = cfs // s_ggn
+    gram4 = jnp.reshape(gram, (cf, s_ggn, cfs))
+    g_ne = jnp.einsum("cni,ik->cnk", gram4, evecs_sel)
+    lambdas = s_ggn * jnp.sum(g_ne**2, axis=0) / evals_sel[None, :]
+    return gammas, lambdas

@@ -1,0 +1,57 @@
+"""Input validation for parameter groups and sub-sampling.
+
+TPU-native re-design of the reference validators (reference:
+vivit/utils/checks.py:6-49).  Parameters are addressed by pytree path strings
+instead of ``torch.nn.Parameter`` identity; the error semantics (``ValueError``
+on missing keys / duplicated params / duplicated sub-sampling indices) are
+preserved so user code can port directly.
+"""
+
+from typing import Dict, List, Optional, Sequence
+
+from vivit_tpu.utils.tree import leaf_paths
+
+
+def check_key_exists(param_groups: List[Dict], key: str) -> None:
+    """Raise ``ValueError`` if any group misses ``key``.
+
+    Reference: vivit/utils/checks.py:6-17.
+    """
+    for group in param_groups:
+        if key not in group.keys():
+            raise ValueError(f"Group {group} does not specify '{key}'.")
+
+
+def check_unique_params(param_groups: List[Dict]) -> None:
+    """Raise ``ValueError`` if a parameter path occurs in more than one group.
+
+    Reference: vivit/utils/checks.py:20-34.
+    """
+    seen = set()
+    for group in param_groups:
+        for path in group["params"]:
+            if path in seen:
+                raise ValueError(f"Parameter '{path}' occurs in more than one group.")
+            seen.add(path)
+
+
+def check_params_exist(param_groups: List[Dict], params) -> None:
+    """Raise ``ValueError`` if a group references a path absent from ``params``."""
+    available = set(leaf_paths(params))
+    for group in param_groups:
+        missing = [p for p in group["params"] if p not in available]
+        if missing:
+            raise ValueError(
+                f"Group references unknown parameter paths {missing}. "
+                f"Available: {sorted(available)}"
+            )
+
+
+def check_subsampling_unique(subsampling: Optional[Sequence[int]]) -> None:
+    """Raise ``ValueError`` if sub-sampling indices contain duplicates.
+
+    Reference: vivit/utils/checks.py:37-49.
+    """
+    if subsampling is not None:
+        if len(set(subsampling)) != len(subsampling):
+            raise ValueError(f"Subsampling indices must be unique. Got {subsampling}.")

@@ -1,0 +1,115 @@
+"""Pytree utilities: path-based parameter addressing and flattening.
+
+The reference library addresses parameters by ``torch.nn.Parameter`` object
+identity inside ``param_groups`` (reference: vivit/utils/hooks.py:214-219,
+vivit/utils/checks.py:20-34).  In JAX parameters are pytree leaves without
+identity, so this module provides the TPU-native equivalent: every leaf is
+addressed by its *path string* (e.g. ``"params/Dense_0/kernel"``), and
+parameter groups select subsets of paths.
+
+All heavy lifting (Gram contraction, back-projection) happens on flattened
+``[*, D_leaf]`` matrices so the MXU sees large 2-D matmuls.
+"""
+
+from typing import Any, Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def path_str(key_path) -> str:
+    """Render a jax key path as a '/'-joined string.
+
+    Examples: ``(DictKey('params'), DictKey('Dense_0'), DictKey('kernel'))``
+    becomes ``"params/Dense_0/kernel"``.
+    """
+    parts = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        elif hasattr(k, "name"):
+            parts.append(str(k.name))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def leaf_paths(tree: Any) -> List[str]:
+    """Return the path strings of all leaves in ``tree`` (flattening order)."""
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return [path_str(kp) for kp, _ in leaves_with_paths]
+
+
+def flatten_with_paths(tree: Any) -> List[Tuple[str, jax.Array]]:
+    """Return ``(path, leaf)`` pairs in canonical flattening order."""
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return [(path_str(kp), leaf) for kp, leaf in leaves_with_paths]
+
+
+def num_params(tree: Any) -> int:
+    """Total number of scalar parameters in the pytree."""
+    return sum(int(np.prod(leaf.shape)) for leaf in jax.tree_util.tree_leaves(tree))
+
+
+def ravel(tree: Any) -> jnp.ndarray:
+    """Concatenate all leaves into one flat vector (canonical leaf order)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.concatenate([jnp.reshape(leaf, (-1,)) for leaf in leaves])
+
+
+def unravel_like(vec: jnp.ndarray, tree: Any) -> Any:
+    """Inverse of :func:`ravel`: split flat ``vec`` back into ``tree``'s structure."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out, offset = [], 0
+    for leaf in leaves:
+        size = int(np.prod(leaf.shape))
+        out.append(jnp.reshape(vec[offset : offset + size], leaf.shape))
+        offset += size
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def ravel_batched(tree: Any, num_leading: int = 1) -> jnp.ndarray:
+    """Flatten a pytree whose leaves share ``num_leading`` batch axes.
+
+    Leaves of shape ``[B1, ..., Bk, *s]`` are reshaped to ``[B1*...*Bk, prod(s)]``
+    and concatenated along the last axis, producing ``[B, D]``.
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    mats = []
+    for leaf in leaves:
+        lead = int(np.prod(leaf.shape[:num_leading]))
+        mats.append(jnp.reshape(leaf, (lead, -1)))
+    return jnp.concatenate(mats, axis=1)
+
+
+def select_paths(tree: Any, paths: Sequence[str]) -> List[Tuple[str, jax.Array]]:
+    """Return ``(path, leaf)`` pairs for the requested paths, in *requested* order.
+
+    Raises:
+        ValueError: If any requested path does not exist in ``tree``.
+    """
+    lookup = dict(flatten_with_paths(tree))
+    missing = [p for p in paths if p not in lookup]
+    if missing:
+        raise ValueError(
+            f"Parameter paths not found in pytree: {missing}. "
+            f"Available: {sorted(lookup)}"
+        )
+    return [(p, lookup[p]) for p in paths]
+
+
+def subtree_mask(tree: Any, paths: Sequence[str]) -> Any:
+    """Boolean mask pytree: True on leaves whose path is in ``paths``."""
+    wanted = set(paths)
+    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    flags = [path_str(kp) in wanted for kp, _ in leaves_with_paths]
+    return jax.tree_util.tree_unflatten(treedef, flags)
+
+
+def tree_take(tree: Any, indices, axis: int = 0) -> Any:
+    """``jnp.take`` along ``axis`` applied to every leaf."""
+    idx = jnp.asarray(indices)
+    return jax.tree_util.tree_map(lambda leaf: jnp.take(leaf, idx, axis=axis), tree)
