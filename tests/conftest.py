@@ -1,0 +1,17 @@
+"""Test configuration: force CPU with 8 virtual devices, full matmul precision.
+
+The sandbox's sitecustomize registers the axon TPU platform at interpreter
+startup and ignores ``JAX_PLATFORMS`` from the environment; overriding via
+``jax.config`` works because backends initialize lazily.  Sharding tests use
+the 8-device virtual CPU mesh (``xla_force_host_platform_device_count``),
+matching the driver's multi-chip dry-run environment.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")

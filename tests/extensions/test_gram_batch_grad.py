@@ -1,0 +1,102 @@
+"""Gradient Gram-matrix primitives (mirrors test/extensions/firstorder/batch_grad).
+
+Checks BackPACK-scaled per-sample gradients, (centered) Gram matrices against
+the oracle, and the Gram-vs-covariance spectrum match
+(reference test_gram_batch_grad.py:33-47).
+"""
+
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+from vivit_tpu.extensions import (
+    centered_batch_grad,
+    centered_gram_batch_grad,
+    gram_batch_grad,
+)
+from vivit_tpu.utils.tree import flatten_with_paths
+from tests.implementation.cases import PROBLEM_IDS, PROBLEMS
+from tests.implementation.oracle import per_sample_grads
+
+
+def _scaled_oracle_grads(problem):
+    """BackPACK convention: ρ·∇ℓ_n rows, flattened [N, D]."""
+    g = per_sample_grads(problem.model_fn, problem.loss, problem.params,
+                         problem.X, problem.y)
+    return g * problem.loss.rho(problem.X.shape[0])
+
+
+@pytest.mark.parametrize("problem", PROBLEMS[:4], ids=PROBLEM_IDS[:4])
+def test_batch_grad_parity(problem):
+    grads = vt.batch_grad(problem.model_fn, problem.loss, problem.params,
+                          problem.X, problem.y)
+    flat = np.concatenate(
+        [np.asarray(l).reshape(l.shape[0], -1)
+         for _, l in flatten_with_paths(grads)],
+        axis=1,
+    )
+    assert np.allclose(flat, _scaled_oracle_grads(problem), rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("problem", PROBLEMS[:4], ids=PROBLEM_IDS[:4])
+def test_batch_grad_sums_to_full_gradient(problem):
+    """Σ_n ρ∇ℓ_n must equal ∇L — the reduction-factor sanity check."""
+    import jax
+
+    grads = vt.batch_grad(problem.model_fn, problem.loss, problem.params,
+                          problem.X, problem.y)
+    summed = jax.tree_util.tree_map(lambda g: g.sum(0), grads)
+    full = jax.grad(lambda p: problem.loss(problem.model_fn(p, problem.X),
+                                           problem.y))(problem.params)
+    for (_, a), (_, b) in zip(flatten_with_paths(summed), flatten_with_paths(full)):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("problem", PROBLEMS[:2], ids=PROBLEM_IDS[:2])
+def test_gram_batch_grad_parity(problem):
+    G = _scaled_oracle_grads(problem)
+    gram = gram_batch_grad(problem.model_fn, problem.loss, problem.params,
+                           problem.X, problem.y)
+    assert np.allclose(np.asarray(gram), G @ G.T, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("problem", PROBLEMS[:2], ids=PROBLEM_IDS[:2])
+def test_centered_gram_batch_grad_parity(problem):
+    G = _scaled_oracle_grads(problem)
+    Gc = G - G.mean(0)
+    gram = centered_gram_batch_grad(problem.model_fn, problem.loss,
+                                    problem.params, problem.X, problem.y)
+    assert np.allclose(np.asarray(gram), Gc @ Gc.T, rtol=1e-5, atol=1e-7)
+
+
+def test_centered_batch_grad_zero_mean():
+    problem = PROBLEMS[0]
+    centered = centered_batch_grad(problem.model_fn, problem.loss,
+                                   problem.params, problem.X, problem.y)
+    for _, leaf in flatten_with_paths(centered):
+        assert np.allclose(np.asarray(leaf).mean(0), 0.0, atol=1e-7)
+
+
+def test_gram_spectrum_matches_covariance():
+    """Nonzero spectrum of the gradient Gram == spectrum of Σ g gᵀ.
+
+    Reference: test_gram_batch_grad.py:33-47.
+    """
+    problem = PROBLEMS[0]
+    G = _scaled_oracle_grads(problem)
+    gram_evals = np.linalg.eigvalsh(
+        np.asarray(gram_batch_grad(problem.model_fn, problem.loss,
+                                   problem.params, problem.X, problem.y))
+    )
+    cov_evals = np.linalg.eigvalsh(G.T @ G)
+    top = min(len(gram_evals), len(cov_evals))
+    assert np.allclose(gram_evals[-top:], cov_evals[-top:], rtol=1e-5, atol=1e-7)
+
+
+def test_layerwise_gram():
+    problem = PROBLEMS[0]
+    total, per_leaf = gram_batch_grad(problem.model_fn, problem.loss,
+                                      problem.params, problem.X, problem.y,
+                                      layerwise=True)
+    assert np.allclose(np.asarray(sum(per_leaf.values())), np.asarray(total),
+                       rtol=1e-6, atol=1e-8)

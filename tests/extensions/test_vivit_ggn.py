@@ -1,0 +1,122 @@
+"""V-machinery parity: V Vᵀ products and MC convergence.
+
+Mirrors test/extensions/secondorder/vivit/test_vivit_ggn.py: the GGN-vector
+product realized through ``V`` (``V (Vᵀ v)``) must match the exact GGN-vector
+product (rtol=1e-5, atol=5e-7), and the MC-sampled GGN must converge to the
+exact one statistically (loose tolerances, chunked sampling — reference
+:102-112 uses 50k samples; tiny problems here converge with 10k).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+from vivit_tpu.gram import v_mat_prod, vt_mat_prod
+from vivit_tpu.utils.tree import flatten_with_paths, ravel
+from tests.implementation.cases import PROBLEM_IDS, PROBLEMS, SUBSAMPLINGS
+from tests.implementation.oracle import explicit_ggn
+
+
+def _vt_to_matrix(vt_tree):
+    mats = []
+    for _, leaf in flatten_with_paths(vt_tree):
+        cf, s = leaf.shape[:2]
+        mats.append(np.asarray(leaf).reshape(cf * s, -1))
+    return np.concatenate(mats, axis=1)  # [CF·S, D]
+
+
+@pytest.mark.parametrize("subsampling", SUBSAMPLINGS, ids=lambda s: f"sub={s}")
+@pytest.mark.parametrize("problem", PROBLEMS, ids=PROBLEM_IDS)
+def test_v_vt_equals_ggn(problem, subsampling):
+    """V Vᵀ (materialized) equals the explicit (sub-sampled) GGN."""
+    vt_tree = vt.ggn_sqrt_vt(problem.model_fn, problem.loss, problem.params,
+                             problem.X, problem.y, subsampling=subsampling)
+    V = _vt_to_matrix(vt_tree)
+    G = explicit_ggn(problem.model_fn, problem.loss, problem.params,
+                     problem.X, problem.y, subsampling)
+    assert np.allclose(V.T @ V, G, rtol=1e-5, atol=5e-7)
+
+
+@pytest.mark.parametrize("problem", PROBLEMS[:4], ids=PROBLEM_IDS[:4])
+def test_v_mat_prod_roundtrip(problem):
+    """V (Vᵀ v) through the library contraction kernels == G v."""
+    rng = np.random.default_rng(0)
+    vt_tree = vt.ggn_sqrt_vt(problem.model_fn, problem.loss, problem.params,
+                             problem.X, problem.y)
+    paths = problem.paths
+    mat_leaves = [
+        jnp.asarray(rng.normal(size=(2, *leaf.shape[2:])), jnp.float32)
+        for _, leaf in flatten_with_paths(vt_tree)
+    ]
+    proj = vt_mat_prod(vt_tree, mat_leaves, paths=paths)  # [CF·S, 2]
+    _, back = v_mat_prod(vt_tree, proj.T, paths=paths)  # leaves [2, *shape]
+
+    G = explicit_ggn(problem.model_fn, problem.loss, problem.params,
+                     problem.X, problem.y)
+    v_flat = np.concatenate(
+        [np.asarray(m).reshape(2, -1) for m in mat_leaves], axis=1
+    )
+    want = v_flat @ G.T  # [2, D]
+    got = np.concatenate([np.asarray(b).reshape(2, -1) for b in back], axis=1)
+    assert np.allclose(got, want, rtol=1e-5, atol=5e-7)
+
+
+@pytest.mark.parametrize("problem", PROBLEMS[:2], ids=PROBLEM_IDS[:2])
+def test_exact_ggn_vector_product(problem):
+    """Matrix-free ggn_vector_product == explicit G @ v."""
+    rng = np.random.default_rng(1)
+    v_flat = rng.normal(size=(int(ravel(problem.params).shape[0]),)).astype(
+        np.float32
+    )
+    from vivit_tpu.utils.tree import unravel_like
+
+    v = unravel_like(jnp.asarray(v_flat), problem.params)
+    gv = vt.ggn_vector_product(problem.model_fn, problem.loss, problem.params,
+                               problem.X, problem.y, v)
+    G = explicit_ggn(problem.model_fn, problem.loss, problem.params,
+                     problem.X, problem.y)
+    assert np.allclose(np.asarray(ravel(gv)), G @ v_flat, rtol=1e-4, atol=1e-6)
+
+
+def test_mc_ggn_converges_to_exact():
+    """Statistical MC test (reference :102-112): chunked sampling, loose tol."""
+    problem = PROBLEMS[0]
+    G = explicit_ggn(problem.model_fn, problem.loss, problem.params,
+                     problem.X, problem.y)
+
+    chunks, chunk_size = 20, 500
+    key = jax.random.PRNGKey(7)
+
+    @jax.jit
+    def chunk_ggn(k):
+        vt_tree = vt.ggn_sqrt_vt(problem.model_fn, problem.loss, problem.params,
+                                 problem.X, problem.y,
+                                 mc_samples=chunk_size, key=k)
+        mats = [
+            jnp.reshape(leaf, (leaf.shape[0] * leaf.shape[1], -1))
+            for _, leaf in flatten_with_paths(vt_tree)
+        ]
+        V = jnp.concatenate(mats, axis=1)
+        return V.T @ V
+
+    G_mc = np.mean(
+        [np.asarray(chunk_ggn(jax.random.fold_in(key, i))) for i in range(chunks)],
+        axis=0,
+    )
+    assert np.allclose(G_mc, G, rtol=1e-1, atol=1e-3)
+
+
+def test_gram_sqrt_ggn_matches_gram_matrix():
+    from vivit_tpu.extensions import gram_sqrt_ggn
+    from vivit_tpu.gram import gram_matrix, reshape_as_square
+
+    problem = PROBLEMS[0]
+    gram4 = gram_sqrt_ggn(problem.model_fn, problem.loss, problem.params,
+                          problem.X, problem.y)
+    vt_tree = vt.ggn_sqrt_vt(problem.model_fn, problem.loss, problem.params,
+                             problem.X, problem.y)
+    gram2 = gram_matrix(vt_tree)
+    assert np.allclose(np.asarray(reshape_as_square(gram4)), np.asarray(gram2),
+                       rtol=1e-5, atol=1e-7)

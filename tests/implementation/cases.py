@@ -1,0 +1,111 @@
+"""Test-problem matrix (mirrors reference test/settings.py:28-181).
+
+Coverage: MLPs with CrossEntropy/MSE under mean and sum reductions, a CNN,
+BatchNorm in eval mode, a branched net with a skip connection, and a
+ConvTranspose net.  Sizes are tiny so the explicit-GGN oracle stays cheap.
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import vivit_tpu as vt
+from vivit_tpu.models import (
+    MLP,
+    BatchNormNet,
+    BranchedNet,
+    ConvTransposeNet,
+    SmallCNN,
+    init_model,
+)
+from vivit_tpu.utils.tree import leaf_paths
+
+
+@dataclass
+class Problem:
+    name: str
+    model_fn: Callable
+    params: Any
+    X: jnp.ndarray
+    y: jnp.ndarray
+    loss: Any
+
+    @property
+    def paths(self) -> List[str]:
+        return leaf_paths(self.params)
+
+    def group_layouts(self) -> Dict[str, List[List[str]]]:
+        """Named param-group layouts (reference test/optim/settings.py:63-104)."""
+        paths = self.paths
+        kernels = [p for p in paths if p.endswith("kernel")]
+        rest = [p for p in paths if not p.endswith("kernel")]
+        layouts = {"one_group": [paths]}
+        if kernels and rest:
+            layouts["weights_and_biases"] = [kernels, rest]
+        return layouts
+
+
+def _data(rng, n, shape, C, integer_targets):
+    X = jnp.asarray(rng.normal(size=(n, *shape)), jnp.float32)
+    if integer_targets:
+        y = jnp.asarray(rng.integers(0, C, size=(n,)), jnp.int32)
+    else:
+        y = jnp.asarray(rng.normal(size=(n, C)), jnp.float32)
+    return X, y
+
+
+def make_problems() -> List[Problem]:
+    problems = []
+    rng = np.random.default_rng(42)
+    N, C = 7, 4
+
+    mlp_fn, mlp_params = init_model(MLP(features=(8, C)), (6,), seed=0)
+    for loss, integer in [
+        (vt.CrossEntropyLoss("mean"), True),
+        (vt.CrossEntropyLoss("sum"), True),
+        (vt.MSELoss("mean"), False),
+        (vt.MSELoss("sum"), False),
+    ]:
+        X, y = _data(rng, N, (6,), C, integer)
+        problems.append(
+            Problem(
+                f"mlp_{type(loss).__name__}_{loss.reduction}",
+                mlp_fn, mlp_params, X, y, loss,
+            )
+        )
+
+    cnn_fn, cnn_params = init_model(SmallCNN(num_classes=3), (6, 6, 1), seed=1)
+    X, y = _data(rng, 5, (6, 6, 1), 3, True)
+    problems.append(
+        Problem("cnn_ce_mean", cnn_fn, cnn_params, X, y, vt.CrossEntropyLoss("mean"))
+    )
+
+    bn_fn, bn_params = init_model(BatchNormNet(hidden=8, num_classes=3), (5,), seed=2)
+    X, y = _data(rng, 6, (5,), 3, True)
+    problems.append(
+        Problem("batchnorm_ce_mean", bn_fn, bn_params, X, y,
+                vt.CrossEntropyLoss("mean"))
+    )
+
+    br_fn, br_params = init_model(BranchedNet(hidden=6, num_classes=3), (5,), seed=3)
+    X, y = _data(rng, 6, (5,), 3, True)
+    problems.append(
+        Problem("branched_ce_mean", br_fn, br_params, X, y,
+                vt.CrossEntropyLoss("mean"))
+    )
+
+    ct_fn, ct_params = init_model(ConvTransposeNet(num_classes=3), (3, 3, 1), seed=4)
+    X, y = _data(rng, 5, (3, 3, 1), 3, False)
+    problems.append(
+        Problem("convtranspose_mse_mean", ct_fn, ct_params, X, y, vt.MSELoss("mean"))
+    )
+
+    return problems
+
+
+PROBLEMS = make_problems()
+PROBLEM_IDS = [p.name for p in PROBLEMS]
+SUBSAMPLINGS = [None, [2, 0]]

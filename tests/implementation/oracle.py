@@ -1,0 +1,119 @@
+"""Brute-force autograd oracle — the independent "second implementation".
+
+Mirrors the reference's dual-implementation parity strategy
+(test/implementation/autograd.py): the GGN is materialized *explicitly* from
+full Jacobians and per-sample loss Hessians, never through the V machinery
+under test.  All quantities use the library's documented conventions:
+
+* ``G(subsampling) = (N/|S|) · ρ · Σ_{n∈S} J_nᵀ H_n J_n`` (the reference's
+  sub-sampling rescale, test/implementation/autograd.py:234-239),
+* unscaled per-sample gradients ``g_n = ∇ℓ_n`` for γ
+  (autograd.py:146-149 compensates BackPACK's 1/N by multiplying with N),
+* per-sample GGN ``G_n = J_nᵀ H_n J_n`` for λ (autograd.py:205-209).
+
+Flat vectors use the canonical pytree leaf order of ``vivit_tpu.utils.tree``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vivit_tpu.utils.tree import num_params, ravel, unravel_like
+
+
+def explicit_ggn(model_fn, loss, params, X, y, subsampling=None):
+    """Explicit ``[D, D]`` GGN with sub-sampling rescale (numpy)."""
+    n_full = X.shape[0]
+    idx = np.arange(n_full) if subsampling is None else np.asarray(subsampling)
+    rho = loss.rho(n_full)
+    flat0 = ravel(params)
+
+    def outputs(flat):
+        return model_fn(unravel_like(flat, params), X)
+
+    J = np.asarray(jax.jacobian(outputs)(flat0))  # [N, C, D]
+    f = np.asarray(model_fn(params, X))
+
+    def hess_n(f_n, y_n):
+        return jax.hessian(lambda ff: loss.per_sample(ff[None], y_n[None])[0])(f_n)
+
+    H = np.asarray(jax.vmap(hess_n)(jnp.asarray(f), y))  # [N, C, C]
+
+    G = np.zeros((flat0.shape[0],) * 2)
+    for n in idx:
+        G += J[n].T @ H[n] @ J[n]
+    return G * rho * n_full / len(idx)
+
+
+def per_sample_ggn(model_fn, loss, params, X, y, n):
+    """Unscaled ``G_n = J_nᵀ H_n J_n`` for one sample (numpy)."""
+    flat0 = ravel(params)
+
+    def out_n(flat):
+        return model_fn(unravel_like(flat, params), X[n][None])[0]
+
+    J = np.asarray(jax.jacobian(out_n)(flat0))  # [C, D]
+    f_n = model_fn(params, X[n][None])[0]
+    H = np.asarray(
+        jax.hessian(lambda ff: loss.per_sample(ff[None], y[n][None])[0])(f_n)
+    )
+    return J.T @ H @ J
+
+
+def per_sample_grads(model_fn, loss, params, X, y):
+    """Unscaled ``[N, D]`` per-sample gradients ``∇ℓ_n`` (numpy)."""
+    flat0 = ravel(params)
+
+    def losses(flat):
+        p = unravel_like(flat, params)
+        return loss.per_sample(model_fn(p, X), y)
+
+    return np.asarray(jax.jacobian(losses)(flat0))
+
+
+def explicit_hessian(model_fn, loss, params, X, y):
+    """Explicit ``[D, D]`` Hessian of the total loss (numpy)."""
+    flat0 = ravel(params)
+
+    def total(flat):
+        p = unravel_like(flat, params)
+        return loss(model_fn(p, X), y)
+
+    return np.asarray(jax.hessian(total)(flat0))
+
+
+def block_indices(params, paths):
+    """Flat-vector index array for the given leaf paths (canonical order).
+
+    Mirrors the reference's group→flat-index mapping helper
+    (test/implementation/base.py:80-106).
+    """
+    from vivit_tpu.utils.tree import flatten_with_paths
+
+    offsets, sizes = {}, {}
+    off = 0
+    for p, leaf in flatten_with_paths(params):
+        size = int(np.prod(leaf.shape))
+        offsets[p], sizes[p] = off, size
+        off += size
+    idx = []
+    for p in paths:
+        idx.extend(range(offsets[p], offsets[p] + sizes[p]))
+    return np.asarray(idx)
+
+
+def flat_from_leaves(leaves):
+    """Concatenate ``[K, *shape]`` leaves into ``[D_block, K]`` column vectors."""
+    return np.concatenate(
+        [np.asarray(l).reshape(l.shape[0], -1) for l in leaves], axis=1
+    ).T
+
+
+def directions_oracle(G_block, criterion):
+    """Eigendecompose an explicit GGN block and apply the criterion filter.
+
+    Mirrors test/implementation/autograd.py:221-262.
+    """
+    evals, evecs = np.linalg.eigh(G_block)
+    keep = criterion(evals)
+    return evals[keep], evecs[:, keep]

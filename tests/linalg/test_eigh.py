@@ -1,0 +1,98 @@
+"""Eigenpair property and parity tests.
+
+Mirrors reference test/linalg/test_eigh.py: eigenvector scaling ``G e = λ e``
+(rtol=5e-4), orthonormality vs identity (atol=2e-4), sign-invariant match
+against the oracle eigenvectors (rtol=2e-2), with top-k criteria k ∈ {1, 10}
+above a 1e-5 floor.
+"""
+
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+from tests.implementation.cases import PROBLEM_IDS, PROBLEMS, SUBSAMPLINGS
+from tests.implementation.oracle import (
+    block_indices,
+    directions_oracle,
+    explicit_ggn,
+    flat_from_leaves,
+)
+
+TOP_KS = [1, 10]
+
+
+@pytest.mark.parametrize("k", TOP_KS, ids=lambda k: f"top{k}")
+@pytest.mark.parametrize("subsampling", SUBSAMPLINGS, ids=lambda s: f"sub={s}")
+@pytest.mark.parametrize("problem", PROBLEMS[:5], ids=PROBLEM_IDS[:5])
+def test_eigh_properties_and_match(problem, subsampling, k):
+    criterion = vt.keep_top_k(k, must_exceed=1e-5)
+    comp = vt.EighComputation(problem.model_fn, problem.loss,
+                              subsampling=subsampling)
+    G = explicit_ggn(problem.model_fn, problem.loss, problem.params,
+                     problem.X, problem.y, subsampling)
+    param_groups = [{"params": problem.paths, "criterion": criterion}]
+    ((evals, evecs),) = comp.compute(problem.params, problem.X, problem.y,
+                                     param_groups)
+    E = flat_from_leaves(evecs)  # [D, K]
+    lam = np.asarray(evals)
+
+    # eigenvector scaling: G e = λ e
+    assert np.allclose(G @ E, E * lam[None, :], rtol=5e-4, atol=1e-5)
+
+    # orthonormality
+    assert np.allclose(E.T @ E, np.eye(E.shape[1]), rtol=1e-3, atol=2e-4)
+
+    # sign-invariant match against the oracle
+    idx = block_indices(problem.params, problem.paths)
+    oracle_evals, oracle_evecs = directions_oracle(G[np.ix_(idx, idx)], criterion)
+    top = min(lam.shape[0], oracle_evals.shape[0])
+    assert np.allclose(lam[-top:], oracle_evals[-top:], rtol=1e-4, atol=5e-6)
+    assert np.allclose(
+        np.abs(E[:, -top:]), np.abs(oracle_evecs[:, -top:]), rtol=2e-2, atol=2e-3
+    )
+
+
+def test_eigh_block_diagonal_groups():
+    problem = PROBLEMS[0]
+    layouts = problem.group_layouts()["weights_and_biases"]
+    criterion = vt.keep_top_k(3, must_exceed=1e-5)
+    comp = vt.EighComputation(problem.model_fn, problem.loss)
+    G = explicit_ggn(problem.model_fn, problem.loss, problem.params,
+                     problem.X, problem.y)
+    param_groups = [{"params": paths, "criterion": criterion} for paths in layouts]
+    results = comp.compute(problem.params, problem.X, problem.y, param_groups)
+    for paths, (evals, evecs) in zip(layouts, results):
+        idx = block_indices(problem.params, paths)
+        Gb = G[np.ix_(idx, idx)]
+        E = flat_from_leaves(evecs)
+        assert np.allclose(Gb @ E, E * np.asarray(evals)[None, :],
+                           rtol=5e-4, atol=1e-5)
+
+
+def test_eigh_topk_fused_matches_class_api():
+    """The fully-jitted eigh_topk agrees with the two-phase class API."""
+    import jax
+
+    problem = PROBLEMS[0]
+    k = 4
+    comp = vt.EighComputation(problem.model_fn, problem.loss)
+    ((evals_c, evecs_c),) = comp.compute(
+        problem.params, problem.X, problem.y,
+        [{"params": problem.paths, "criterion": vt.keep_top_k(k)}],
+    )
+    fn = jax.jit(
+        lambda p, X, y: vt.eigh_topk(problem.model_fn, problem.loss, p, X, y, k)
+    )
+    evals_f, evecs_f = fn(problem.params, problem.X, problem.y)
+    assert np.allclose(np.asarray(evals_f), np.asarray(evals_c), rtol=1e-5, atol=1e-7)
+    for a, b in zip(evecs_f, evecs_c):
+        assert np.allclose(np.abs(np.asarray(a)), np.abs(np.asarray(b)),
+                           rtol=1e-4, atol=1e-6)
+
+
+def test_small_eigval_warning():
+    problem = PROBLEMS[0]
+    comp = vt.EighComputation(problem.model_fn, problem.loss)
+    param_groups = [{"params": problem.paths, "criterion": vt.keep_all}]
+    with pytest.warns(UserWarning, match="small"):
+        comp.compute(problem.params, problem.X, problem.y, param_groups)

@@ -1,0 +1,75 @@
+"""Eigenvalue parity vs the explicit-GGN oracle.
+
+Mirrors reference test/linalg/test_eigvalsh.py: compare the top
+``min(CF·S, D_block)`` eigenvalues (the Gram sees only the nonzero spectrum)
+at rtol=1e-4, atol=5e-6; exercise sub-sampling and block-diagonal groups;
+check the error paths.
+"""
+
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+from tests.implementation.cases import PROBLEM_IDS, PROBLEMS, SUBSAMPLINGS
+from tests.implementation.oracle import block_indices, explicit_ggn
+
+RTOL, ATOL = 1e-4, 5e-6
+
+
+@pytest.mark.parametrize("subsampling", SUBSAMPLINGS, ids=lambda s: f"sub={s}")
+@pytest.mark.parametrize("problem", PROBLEMS, ids=PROBLEM_IDS)
+def test_eigvalsh_parity(problem, subsampling):
+    comp = vt.EigvalshComputation(problem.model_fn, problem.loss,
+                                  subsampling=subsampling)
+    G = explicit_ggn(problem.model_fn, problem.loss, problem.params,
+                     problem.X, problem.y, subsampling)
+    for layout_name, groups in problem.group_layouts().items():
+        param_groups = [{"params": paths} for paths in groups]
+        results = comp.compute(problem.params, problem.X, problem.y, param_groups)
+        for paths, evals in zip(groups, results):
+            idx = block_indices(problem.params, paths)
+            oracle = np.linalg.eigvalsh(G[np.ix_(idx, idx)])
+            top = min(evals.shape[0], idx.shape[0])
+            got, want = np.asarray(evals)[-top:], oracle[-top:]
+            assert np.allclose(got, want, rtol=RTOL, atol=ATOL), (
+                f"{problem.name}/{layout_name}: {got} vs {want}"
+            )
+
+
+def test_eigvalsh_ascending():
+    p = PROBLEMS[0]
+    (evals,) = vt.EigvalshComputation(p.model_fn, p.loss).compute(p.params, p.X, p.y)
+    assert np.all(np.diff(np.asarray(evals)) >= -1e-7)
+
+
+def test_unknown_group_raises():
+    p = PROBLEMS[0]
+    comp = vt.EigvalshComputation(p.model_fn, p.loss)
+    comp.compute(p.params, p.X, p.y)
+    # a group over different paths was never computed
+    with pytest.raises(KeyError):
+        comp.get_result({"params": p.paths[:1]})
+    # the computed (default: all-params) block is retrievable by content
+    assert comp.get_result({"params": p.paths}) is not None
+
+
+def test_missing_params_key_raises():
+    p = PROBLEMS[0]
+    comp = vt.EigvalshComputation(p.model_fn, p.loss)
+    with pytest.raises(ValueError):
+        comp.compute(p.params, p.X, p.y, [{"criterion": vt.keep_all}])
+
+
+def test_duplicate_params_raises():
+    p = PROBLEMS[0]
+    comp = vt.EigvalshComputation(p.model_fn, p.loss)
+    first = p.paths[0]
+    with pytest.raises(ValueError):
+        comp.compute(p.params, p.X, p.y,
+                     [{"params": [first]}, {"params": [first]}])
+
+
+def test_duplicate_subsampling_raises():
+    p = PROBLEMS[0]
+    with pytest.raises(ValueError):
+        vt.EigvalshComputation(p.model_fn, p.loss, subsampling=[0, 0])

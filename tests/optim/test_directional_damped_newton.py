@@ -1,0 +1,77 @@
+"""Damped Newton step parity (mirrors test/optim/test_directional_damped_newton.py).
+
+Oracle step: ``s = Σ_k −γ̄_k/(λ̄_k + δ_k) e_k`` from explicit eigenpairs —
+eigenvector sign ambiguity cancels because γ̄_k and e_k flip together.
+Tolerance rtol=1e-5/atol=1e-5 (reference :72).
+"""
+
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+from tests.implementation.cases import PROBLEMS
+from tests.implementation.oracle import flat_from_leaves
+from tests.optim.test_directional_derivatives import (
+    MEAN_PROBLEMS,
+    _oracle_gammas_lambdas,
+)
+
+DAMPING = 1.0
+
+
+@pytest.mark.parametrize("sub_grad,sub_ggn", [(None, None), ([2, 0], [0, 3, 1])],
+                         ids=["full", "subsampled"])
+@pytest.mark.parametrize("problem", MEAN_PROBLEMS[:3],
+                         ids=[p.name for p in MEAN_PROBLEMS[:3]])
+def test_newton_step_parity(problem, sub_grad, sub_ggn):
+    criterion = vt.keep_top_k(10, must_exceed=1e-5)
+    comp = vt.DirectionalDampedNewtonComputation(
+        problem.model_fn, problem.loss,
+        subsampling_grad=sub_grad, subsampling_ggn=sub_ggn,
+    )
+    for layout_name, groups in problem.group_layouts().items():
+        param_groups = [
+            {"params": paths, "criterion": criterion,
+             "damping": vt.constant_damping(DAMPING)}
+            for paths in groups
+        ]
+        results = comp.compute(problem.params, problem.X, problem.y, param_groups)
+        for paths, step in zip(groups, results):
+            _, evecs_o, gammas_o, lambdas_o = _oracle_gammas_lambdas(
+                problem, paths, criterion, sub_grad, sub_ggn
+            )
+            coeff = -gammas_o.mean(0) / (lambdas_o.mean(0) + DAMPING)
+            step_o = (evecs_o * coeff[None, :]).sum(1)
+            got = flat_from_leaves([s[None] for s in step])[:, 0]
+            assert np.allclose(got, step_o, rtol=1e-5, atol=1e-5), (
+                f"{problem.name}/{layout_name}"
+            )
+
+
+def test_missing_damping_raises():
+    problem = MEAN_PROBLEMS[0]
+    comp = vt.DirectionalDampedNewtonComputation(problem.model_fn, problem.loss)
+    with pytest.raises(ValueError, match="damping"):
+        comp.compute(problem.params, problem.X, problem.y,
+                     [{"params": problem.paths, "criterion": vt.keep_top_k(2)}])
+
+
+def test_fused_topk_matches_class_api():
+    import jax
+
+    problem = MEAN_PROBLEMS[0]
+    k = 4
+    comp = vt.DirectionalDampedNewtonComputation(problem.model_fn, problem.loss)
+    (step_c,) = comp.compute(
+        problem.params, problem.X, problem.y,
+        [{"params": problem.paths, "criterion": vt.keep_top_k(k),
+          "damping": vt.constant_damping(DAMPING)}],
+    )
+    fn = jax.jit(
+        lambda p, X, y: vt.newton_step_topk(
+            problem.model_fn, problem.loss, p, X, y, k, damping=DAMPING
+        )
+    )
+    step_f = fn(problem.params, problem.X, problem.y)
+    for a, b in zip(step_f, step_c):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -1,0 +1,98 @@
+"""γ/λ parity vs the oracle (mirrors test/optim/test_directional_derivatives.py).
+
+γ is compared sign-invariantly (eigenvector sign ambiguity, reference :66-69)
+at rtol=1e-5/atol=1e-4; λ at rtol=1e-5/atol=1e-5.
+"""
+
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+from tests.implementation.cases import PROBLEMS
+from tests.implementation.oracle import (
+    block_indices,
+    directions_oracle,
+    explicit_ggn,
+    per_sample_ggn,
+    per_sample_grads,
+)
+
+MEAN_PROBLEMS = [p for p in PROBLEMS if p.loss.reduction == "mean"]
+SUB_COMBOS = [(None, None), ([2, 0], None), (None, [0, 3, 1]), ([2, 0], [0, 3, 1])]
+
+
+def _oracle_gammas_lambdas(problem, paths, criterion, sub_grad, sub_ggn):
+    N = problem.X.shape[0]
+    idx = block_indices(problem.params, paths)
+    G = explicit_ggn(problem.model_fn, problem.loss, problem.params,
+                     problem.X, problem.y, sub_ggn)
+    evals, evecs = directions_oracle(G[np.ix_(idx, idx)], criterion)
+
+    grads = per_sample_grads(problem.model_fn, problem.loss, problem.params,
+                             problem.X, problem.y)[:, idx]
+    grad_rows = range(N) if sub_grad is None else sub_grad
+    gammas = np.stack([grads[n] @ evecs for n in grad_rows])
+
+    ggn_rows = range(N) if sub_ggn is None else sub_ggn
+    lambdas = np.stack(
+        [
+            np.einsum(
+                "ik,ij,jk->k",
+                evecs,
+                per_sample_ggn(problem.model_fn, problem.loss, problem.params,
+                               problem.X, problem.y, n)[np.ix_(idx, idx)],
+                evecs,
+            )
+            for n in ggn_rows
+        ]
+    )
+    return evals, evecs, gammas, lambdas
+
+
+@pytest.mark.parametrize("sub_grad,sub_ggn", SUB_COMBOS,
+                         ids=lambda s: f"{s}")
+@pytest.mark.parametrize("problem", MEAN_PROBLEMS[:3],
+                         ids=[p.name for p in MEAN_PROBLEMS[:3]])
+def test_gammas_lambdas_parity(problem, sub_grad, sub_ggn):
+    criterion = vt.keep_top_k(10, must_exceed=1e-5)
+    comp = vt.DirectionalDerivativesComputation(
+        problem.model_fn, problem.loss,
+        subsampling_grad=sub_grad, subsampling_ggn=sub_ggn,
+    )
+    for layout_name, groups in problem.group_layouts().items():
+        param_groups = [{"params": paths, "criterion": criterion}
+                        for paths in groups]
+        results = comp.compute(problem.params, problem.X, problem.y, param_groups)
+        for paths, (gammas, lambdas) in zip(groups, results):
+            _, _, gammas_o, lambdas_o = _oracle_gammas_lambdas(
+                problem, paths, criterion, sub_grad, sub_ggn
+            )
+            assert np.allclose(np.abs(np.asarray(gammas)), np.abs(gammas_o),
+                               rtol=1e-5, atol=1e-4), f"{problem.name}/{layout_name}"
+            assert np.allclose(np.asarray(lambdas), lambdas_o,
+                               rtol=1e-5, atol=1e-5), f"{problem.name}/{layout_name}"
+
+
+def test_sum_reduction_rejected():
+    problem = [p for p in PROBLEMS if p.loss.reduction == "sum"][0]
+    comp = vt.DirectionalDerivativesComputation(problem.model_fn, problem.loss)
+    with pytest.raises(ValueError, match="mean"):
+        comp.compute(problem.params, problem.X, problem.y,
+                     [{"params": problem.paths, "criterion": vt.keep_top_k(2)}])
+
+
+def test_mc_sampled_directions_run():
+    """MC-sampled GGN directions execute and give plausible derivatives."""
+    import jax
+
+    problem = MEAN_PROBLEMS[0]
+    comp = vt.DirectionalDerivativesComputation(
+        problem.model_fn, problem.loss, mc_samples_ggn=1
+    )
+    ((gammas, lambdas),) = comp.compute(
+        problem.params, problem.X, problem.y,
+        [{"params": problem.paths, "criterion": vt.keep_top_k(2, must_exceed=1e-5)}],
+        key=jax.random.PRNGKey(0),
+    )
+    assert np.all(np.isfinite(np.asarray(gammas)))
+    assert np.all(np.asarray(lambdas) >= -1e-6)

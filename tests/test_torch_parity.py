@@ -1,0 +1,102 @@
+"""Cross-framework parity against PyTorch autograd — the external ground truth.
+
+The driver's metric demands "eigenvalue parity ≤ 1e-5 vs PyTorch/BackPACK"
+(BASELINE.md).  BackPACK is not installed here, so the ground truth is built
+from raw ``torch.autograd``: the same MLP weights are loaded into a torch
+model, the GGN is materialized from torch Jacobians and loss Hessians with
+``torch.nn.CrossEntropyLoss`` / ``MSELoss`` semantics, and the eigenvalues
+are compared against the library's Gram-eigenvalue path.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import vivit_tpu as vt  # noqa: E402
+
+N, D_IN, H, C = 6, 5, 8, 4
+
+
+def _setup(loss_name, reduction):
+    rng = np.random.default_rng(3)
+    w1 = rng.normal(size=(D_IN, H)).astype(np.float32) / np.sqrt(D_IN)
+    b1 = (rng.normal(size=(H,)) * 0.1).astype(np.float32)
+    w2 = rng.normal(size=(H, C)).astype(np.float32) / np.sqrt(H)
+    b2 = (rng.normal(size=(C,)) * 0.1).astype(np.float32)
+    X = rng.normal(size=(N, D_IN)).astype(np.float32)
+    if loss_name == "ce":
+        y = rng.integers(0, C, size=(N,)).astype(np.int64)
+        jax_loss = vt.CrossEntropyLoss(reduction)
+        torch_loss = torch.nn.CrossEntropyLoss(reduction=reduction)
+    else:
+        y = rng.normal(size=(N, C)).astype(np.float32)
+        jax_loss = vt.MSELoss(reduction)
+        torch_loss = torch.nn.MSELoss(reduction=reduction)
+    return (w1, b1, w2, b2), X, y, jax_loss, torch_loss
+
+
+def _torch_ggn(weights, X, y, torch_loss):
+    """Explicit GGN from torch Jacobians + loss Hessian (float64)."""
+    w1, b1, w2, b2 = [torch.tensor(w, dtype=torch.float64) for w in weights]
+    X_t = torch.tensor(X, dtype=torch.float64)
+    y_t = torch.tensor(y) if y.dtype == np.int64 else torch.tensor(
+        y, dtype=torch.float64
+    )
+
+    flat0 = torch.cat([w.reshape(-1) for w in (w1, b1, w2, b2)])
+    shapes = [w1.shape, b1.shape, w2.shape, b2.shape]
+    sizes = [int(np.prod(s)) for s in shapes]
+
+    def forward(flat):
+        parts = torch.split(flat, sizes)
+        p = [part.reshape(s) for part, s in zip(parts, shapes)]
+        h = torch.tanh(X_t @ p[0] + p[1])
+        return h @ p[2] + p[3]
+
+    J = torch.autograd.functional.jacobian(forward, flat0)  # [N, C, D]
+    f0 = forward(flat0)
+
+    def loss_of_f(f):
+        return torch_loss(f, y_t)
+
+    H = torch.autograd.functional.hessian(loss_of_f, f0)  # [N, C, N, C]
+    D = flat0.numel()
+    Jf = J.reshape(N * C, D)
+    Hf = H.reshape(N * C, N * C)
+    return (Jf.T @ Hf @ Jf).numpy()
+
+
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
+@pytest.mark.parametrize("loss_name", ["ce", "mse"])
+def test_eigvalsh_matches_torch(loss_name, reduction):
+    weights, X, y, jax_loss, torch_loss = _setup(loss_name, reduction)
+    w1, b1, w2, b2 = weights
+    params = {"w1": jnp.asarray(w1), "b1": jnp.asarray(b1),
+              "w2": jnp.asarray(w2), "b2": jnp.asarray(b2)}
+
+    def model_fn(p, x):
+        return jnp.tanh(x @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+
+    y_jax = jnp.asarray(y if loss_name == "mse" else y.astype(np.int32))
+    comp = vt.EigvalshComputation(model_fn, jax_loss)
+    (evals,) = comp.compute(params, jnp.asarray(X), y_jax)
+
+    G = _torch_ggn(weights, X, y, torch_loss)
+    oracle = np.linalg.eigvalsh(G)
+    top = min(evals.shape[0], G.shape[0])
+    assert np.allclose(np.asarray(evals)[-top:], oracle[-top:],
+                       rtol=1e-4, atol=5e-6)
+
+
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
+@pytest.mark.parametrize("loss_name", ["ce", "mse"])
+def test_loss_values_match_torch(loss_name, reduction):
+    weights, X, y, jax_loss, torch_loss = _setup(loss_name, reduction)
+    rng = np.random.default_rng(5)
+    f = rng.normal(size=(N, C)).astype(np.float32)
+    got = float(jax_loss(jnp.asarray(f), jnp.asarray(
+        y if loss_name == "mse" else y.astype(np.int32))))
+    want = float(torch_loss(torch.tensor(f), torch.tensor(y)))
+    assert np.isclose(got, want, rtol=1e-5, atol=1e-7)

@@ -1,0 +1,42 @@
+"""Validation error paths (mirrors test/utils/test_checks.py)."""
+
+import pytest
+
+from vivit_tpu.utils.checks import (
+    check_key_exists,
+    check_params_exist,
+    check_subsampling_unique,
+    check_unique_params,
+)
+
+PARAMS = {"a": None, "b": None}
+
+
+def test_check_key_exists():
+    check_key_exists([{"params": []}], "params")
+    with pytest.raises(ValueError):
+        check_key_exists([{"params": []}, {}], "params")
+
+
+def test_check_unique_params():
+    check_unique_params([{"params": ["a"]}, {"params": ["b"]}])
+    with pytest.raises(ValueError):
+        check_unique_params([{"params": ["a", "a"]}])
+    with pytest.raises(ValueError):
+        check_unique_params([{"params": ["a"]}, {"params": ["a"]}])
+
+
+def test_check_params_exist():
+    import jax.numpy as jnp
+
+    params = {"a": jnp.zeros(1), "b": jnp.zeros(1)}
+    check_params_exist([{"params": ["a"]}], params)
+    with pytest.raises(ValueError):
+        check_params_exist([{"params": ["c"]}], params)
+
+
+def test_check_subsampling_unique():
+    check_subsampling_unique(None)
+    check_subsampling_unique([0, 2, 1])
+    with pytest.raises(ValueError):
+        check_subsampling_unique([0, 0, 1])

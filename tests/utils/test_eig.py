@@ -1,0 +1,58 @@
+"""Stable symmetric eigendecomposition (mirrors test/utils/test_stable_symeig.py).
+
+The reference's golden-file regression stores a tensor that crashes
+``torch.symeig`` and validates the shifted ``symeig_psd``; the TPU build's
+equivalent checks shift-invariance on an ill-conditioned PSD matrix and the
+zero-eigenvalue filter semantics.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vivit_tpu.eig import remove_zero_evals, shift_diag, symeig, symeig_psd
+
+
+def _ill_conditioned_psd(n=32, cond=1e12, seed=0):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    evals = np.logspace(0, -np.log10(cond), n)
+    return jnp.asarray(Q @ np.diag(evals) @ Q.T, jnp.float32), evals[::-1]
+
+
+def test_symeig_psd_shift_invariance():
+    mat, evals_true = _ill_conditioned_psd()
+    evals0, _ = symeig_psd(mat)
+    evals_shifted, _ = symeig_psd(mat, shift=1.0)
+    top = 8
+    assert np.allclose(np.asarray(evals0)[-top:], np.asarray(evals_shifted)[-top:],
+                       rtol=1e-4, atol=1e-6)
+    assert np.allclose(np.asarray(evals_shifted)[-top:], np.sort(evals_true)[-top:],
+                       rtol=1e-3)
+
+
+def test_symeig_psd_rejects_non_2d():
+    with pytest.raises(ValueError):
+        symeig_psd(jnp.zeros((2, 2, 2)))
+
+
+def test_shift_diag():
+    mat = jnp.eye(3)
+    shifted = shift_diag(mat, 2.5)
+    assert np.allclose(np.asarray(shifted), 3.5 * np.eye(3))
+    assert shift_diag(mat, 0.0) is mat
+
+
+def test_remove_zero_evals():
+    evals = jnp.asarray([0.0, 1e-9, 0.5, 2.0])
+    evecs = jnp.eye(4)
+    fevals, fevecs = remove_zero_evals(evals, evecs)
+    assert np.allclose(np.asarray(fevals), [0.5, 2.0])
+    assert fevecs.shape == (4, 2)
+
+
+def test_symeig_filters_zeros():
+    mat, _ = _ill_conditioned_psd(n=8, cond=1e3)
+    low_rank = mat.at[:4, :].set(0.0).at[:, :4].set(0.0)
+    evals, _ = symeig(low_rank)
+    assert np.all(np.abs(np.asarray(evals)) > 1e-7)

@@ -24,7 +24,7 @@ import numpy as np
 
 from vivit_tpu.ggn import ggn_sqrt_vt
 from vivit_tpu.gram import gram_matrix, normalize, v_mat_prod
-from vivit_tpu.linalg.utils import resolve_param_groups, warn_if_small
+from vivit_tpu.linalg.utils import group_key, resolve_param_groups, warn_if_small
 from vivit_tpu.losses import Loss
 from vivit_tpu.utils.checks import check_subsampling_unique
 
@@ -170,14 +170,14 @@ class EighComputation:
             evals = gram_evals[keep]
             warn_if_small(evals, self._warn_small_eigvals)
             evecs = backproject(vt, gram_evecs[:, keep], evals, paths)
-            self._evals[id(group)] = evals
-            self._evecs[id(group)] = evecs
+            self._evals[group_key(group)] = evals
+            self._evecs[group_key(group)] = evecs
             results.append((evals, evecs))
         return results
 
     def get_result(self, group: Dict) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """Reference-compatible result access (vivit/linalg/eigh.py:65-90)."""
-        group_id = id(group)
+        group_id = group_key(group)
         try:
             return self._evals[group_id], self._evecs[group_id]
         except KeyError as e:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from vivit_tpu.ggn import ggn_sqrt_vt
 from vivit_tpu.gram import gram_matrix
-from vivit_tpu.linalg.utils import resolve_param_groups
+from vivit_tpu.linalg.utils import group_key, resolve_param_groups
 from vivit_tpu.losses import Loss
 from vivit_tpu.utils.checks import check_subsampling_unique
 
@@ -123,12 +123,12 @@ class EigvalshComputation:
             print(f"EigvalshComputation: groups {group_paths}")
         results = self._get_fn(group_paths)(params, X, y, key)
         for group, evals in zip(param_groups, results):
-            self._evals[id(group)] = evals
+            self._evals[group_key(group)] = evals
         return list(results)
 
     def get_result(self, group: Dict) -> jnp.ndarray:
         """Reference-compatible result access (vivit/linalg/eigvalsh.py:53-68)."""
         try:
-            return self._evals[id(group)]
+            return self._evals[group_key(group)]
         except KeyError as e:
             raise KeyError("No results available for this group") from e

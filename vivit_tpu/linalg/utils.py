@@ -45,6 +45,16 @@ def resolve_param_groups(
     return param_groups
 
 
+def group_key(group: Dict) -> tuple:
+    """Stable result key for a parameter group: its path tuple.
+
+    The reference keys results by ``id(group)`` (vivit/linalg/eigvalsh.py:49-51);
+    under CPython id-reuse that silently aliases results of freed dicts, so the
+    TPU build keys by content instead.
+    """
+    return tuple(group["params"])
+
+
 def keep_all(evals) -> List[int]:
     """Criterion keeping every direction."""
     return list(range(int(np.asarray(evals).shape[0])))

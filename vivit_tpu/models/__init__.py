@@ -1,0 +1,149 @@
+"""Model zoo for tests, examples, and benchmarks.
+
+The reference has no model zoo — its test fixtures build throwaway
+``torch.nn.Sequential`` nets (reference: test/settings.py:28-181).  Here the
+equivalents are small flax modules plus an adapter that turns any flax module
+into the pure ``model_fn(params, x)`` the engine consumes.
+
+Includes the benchmark flagship: the CIFAR-10 "3c3d" network (3 conv + 3
+dense, the DeepOBS test problem used by the ViViT paper's experiments).
+"""
+
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def make_model_fn(module: nn.Module, variables: Any) -> Tuple[Callable, Any]:
+    """Split flax ``variables`` into ``(model_fn, params)``.
+
+    Non-parameter collections (e.g. ``batch_stats``) are closed over as
+    constants — the TPU-native analogue of the reference's eval-mode
+    BatchNorm restriction (test/utils.py:81-113): statistics are frozen, the
+    forward is per-sample separable, and the GGN is well-defined.
+    """
+    params = variables["params"]
+    consts = {k: v for k, v in variables.items() if k != "params"}
+
+    def model_fn(p, x):
+        return module.apply({"params": p, **consts}, x)
+
+    return model_fn, params
+
+
+class MLP(nn.Module):
+    """Fully-connected net with tanh activations (test fixture)."""
+
+    features: Sequence[int]
+    activation: Callable = nn.tanh
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(x.shape[0], -1)
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f)(x)
+            if i < len(self.features) - 1:
+                x = self.activation(x)
+        return x
+
+
+class SmallCNN(nn.Module):
+    """Tiny conv net (test fixture, mirrors reference test/settings.py CNN case)."""
+
+    num_classes: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(4, (3, 3), padding="VALID")(x)
+        x = nn.sigmoid(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(self.num_classes)(x)
+        return x
+
+
+class BatchNormNet(nn.Module):
+    """Dense → BatchNorm(eval) → Dense (reference BatchNorm fixture analogue)."""
+
+    hidden: int = 8
+    num_classes: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(self.hidden)(x)
+        x = nn.BatchNorm(use_running_average=True)(x)
+        x = nn.tanh(x)
+        x = nn.Dense(self.num_classes)(x)
+        return x
+
+
+class BranchedNet(nn.Module):
+    """Net with a skip connection — branched-graph coverage.
+
+    Mirrors the reference's Parallel/ScaleModule/Pad/Slicing fixture
+    (test/settings.py:161-181): backpropagated GGN factors accumulate
+    additively over branches, which JAX handles natively.
+    """
+
+    hidden: int = 6
+    num_classes: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(x.shape[0], -1)
+        h = nn.Dense(self.hidden)(x)
+        a = nn.tanh(nn.Dense(self.hidden)(h))
+        b = 0.5 * h  # scaled identity branch
+        x = a + b
+        return nn.Dense(self.num_classes)(x)
+
+
+class ConvTransposeNet(nn.Module):
+    """ConvTranspose coverage (reference convtransposend.py:9-30)."""
+
+    num_classes: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(2, (3, 3), strides=(2, 2))(x)
+        x = nn.tanh(x)
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(self.num_classes)(x)
+
+
+class CNN3c3d(nn.Module):
+    """CIFAR-10 3c3d (DeepOBS): 3 conv + 3 dense — the benchmark flagship.
+
+    Conv 64@5x5 → pool → Conv 96@3x3 → pool → Conv 128@3x3 → pool →
+    Dense 512 → Dense 256 → Dense ``num_classes``, ReLU activations.
+    """
+
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(64, (5, 5), padding="VALID")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.Conv(96, (3, 3), padding="VALID")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.Conv(128, (3, 3), padding="SAME")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(512)(x))
+        x = nn.relu(nn.Dense(256)(x))
+        return nn.Dense(self.num_classes)(x)
+
+
+def init_model(
+    module: nn.Module, input_shape: Sequence[int], seed: int = 0
+) -> Tuple[Callable, Any]:
+    """Initialize ``module`` and return ``(model_fn, params)``."""
+    key = jax.random.PRNGKey(seed)
+    variables = module.init(key, jnp.ones((1, *input_shape), jnp.float32))
+    return make_model_fn(module, variables)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vivit_tpu.gram import v_mat_prod
-from vivit_tpu.linalg.utils import resolve_param_groups, warn_if_small
+from vivit_tpu.linalg.utils import group_key, resolve_param_groups, warn_if_small
 from vivit_tpu.losses import Loss
 from vivit_tpu.optim.utils import derivatives_stage1, gammas_lambdas
 from vivit_tpu.utils.checks import check_subsampling_unique
@@ -190,13 +190,13 @@ class DirectionalDampedNewtonComputation:
             step = newton_step_from_derivatives(
                 vt, paths, evals_sel, evecs_sel, gammas, lambdas, dampings
             )
-            self._newton_steps[id(group)] = step
+            self._newton_steps[group_key(group)] = step
             results.append(step)
         return results
 
     def get_result(self, group: Dict) -> List[jnp.ndarray]:
         """Reference-compatible access (damped_newton.py:101-120)."""
         try:
-            return self._newton_steps[id(group)]
+            return self._newton_steps[group_key(group)]
         except KeyError as e:
             raise KeyError("No results available for this group") from e

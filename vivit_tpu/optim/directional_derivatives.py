@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vivit_tpu.linalg.utils import resolve_param_groups, warn_if_small
+from vivit_tpu.linalg.utils import group_key, resolve_param_groups, warn_if_small
 from vivit_tpu.losses import Loss
 from vivit_tpu.optim.utils import derivatives_stage1, gammas_lambdas
 from vivit_tpu.utils.checks import check_subsampling_unique
@@ -135,14 +135,14 @@ class DirectionalDerivativesComputation:
             evals_sel, evecs_sel = evals[keep], evecs[:, keep]
             warn_if_small(evals_sel, self._warn_small_eigvals)
             gammas, lambdas = gammas_lambdas(gram, evals_sel, evecs_sel, v_t_g, s_ggn)
-            self._gammas[id(group)] = gammas
-            self._lambdas[id(group)] = lambdas
+            self._gammas[group_key(group)] = gammas
+            self._lambdas[group_key(group)] = lambdas
             results.append((gammas, lambdas))
         return results
 
     def get_result(self, group: Dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Reference-compatible access (dir_derivatives.py:94-117)."""
-        group_id = id(group)
+        group_id = group_key(group)
         try:
             return self._gammas[group_id], self._lambdas[group_id]
         except KeyError as e:
