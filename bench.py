@@ -1,0 +1,240 @@
+"""Benchmark: Gram build + eigh wall-clock per step (CIFAR-10 3c3d, exact GGN).
+
+The driver metric (BASELINE.json): time to materialize the GGN square root V
+for a CIFAR-10 mini-batch on the 3c3d network (895,210 params, C=10), build
+the ``[NC, NC]`` Gram matrix, and eigendecompose it.
+
+Prints ONE JSON line: ``{"metric", "value", "unit", "vs_baseline"}``.
+
+* ``value``: median wall-clock per step on this machine's default JAX device
+  (the TPU chip under the driver).
+* ``vs_baseline``: speedup vs a PyTorch implementation of the same
+  computation (``torch.func`` per-sample Jacobians → Gram → ``eigh``) on this
+  machine's CPU — the only reference-framework hardware available here (the
+  reference repo itself publishes no absolute numbers, BASELINE.md).  The
+  torch measurement is cached in ``bench_baseline.json`` (delete to re-run).
+
+Usage: ``python bench.py [--batch 128] [--repeats 10] [--refresh-baseline]``
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+N_DEFAULT = 128
+NUM_CLASSES = 10
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+
+
+def _synthetic_batch(n):
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(n, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, NUM_CLASSES, size=(n,)).astype(np.int32)
+    return X, y
+
+
+def measure_vivit_tpu(n, repeats):
+    import jax
+    import jax.numpy as jnp
+
+    import vivit_tpu as vt
+    from vivit_tpu.models import CNN3c3d, init_model
+
+    model_fn, params = init_model(CNN3c3d(NUM_CLASSES), (32, 32, 3), seed=0)
+    X_np, y_np = _synthetic_batch(n)
+    X, y = jnp.asarray(X_np), jnp.asarray(y_np)
+    loss = vt.CrossEntropyLoss("mean")
+
+    from vivit_tpu.utils.tree import leaf_paths
+
+    paths = tuple(leaf_paths(params))
+    fn = jax.jit(
+        lambda p, X, y: vt.eigvalsh(
+            model_fn, loss, p, X, y, group_paths=(paths,)
+        )[0]
+    )
+    evals = np.asarray(fn(params, X, y))  # compile + fetch
+    # Time with a forced device→host fetch of the (tiny) eigenvalue vector:
+    # on the tunneled axon platform block_until_ready() does not block, so
+    # the fetch is the only reliable completion barrier.
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        evals = np.asarray(fn(params, X, y))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1000), evals
+
+
+def _torch_model():
+    import torch
+
+    class CNN3c3dTorch(torch.nn.Module):
+        """Bit-identical geometry to vivit_tpu.models.CNN3c3d."""
+
+        def __init__(self):
+            super().__init__()
+            self.c1 = torch.nn.Conv2d(3, 64, 5)
+            self.c2 = torch.nn.Conv2d(64, 96, 3)
+            self.c3 = torch.nn.Conv2d(96, 128, 3, padding=1)
+            self.pool = torch.nn.MaxPool2d(3, 2, padding=1)
+            self.f1 = torch.nn.Linear(128 * 3 * 3, 512)
+            self.f2 = torch.nn.Linear(512, 256)
+            self.f3 = torch.nn.Linear(256, NUM_CLASSES)
+
+        def forward(self, x):
+            x = self.pool(torch.relu(self.c1(x)))
+            x = self.pool(torch.relu(self.c2(x)))
+            x = self.pool(torch.relu(self.c3(x)))
+            x = x.flatten(1)
+            x = torch.relu(self.f1(x))
+            x = torch.relu(self.f2(x))
+            return self.f3(x)
+
+    torch.manual_seed(0)
+    return CNN3c3dTorch()
+
+
+def torch_params_to_flax(model):
+    """Exact weight transfer torch → flax param dict (incl. flatten reorder)."""
+    import torch
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    # torch conv weight [O, I, kh, kw] → flax [kh, kw, I, O]
+    conv = lambda w: np.transpose(w, (2, 3, 1, 0))
+    # torch f1 consumes NCHW-flattened (c, h, w); flax consumes (h, w, c)
+    f1w = sd["f1.weight"].reshape(512, 128, 3, 3).transpose(0, 2, 3, 1)
+    f1w = f1w.reshape(512, -1)
+    import jax.numpy as jnp
+
+    return {
+        "Conv_0": {"kernel": jnp.asarray(conv(sd["c1.weight"])),
+                   "bias": jnp.asarray(sd["c1.bias"])},
+        "Conv_1": {"kernel": jnp.asarray(conv(sd["c2.weight"])),
+                   "bias": jnp.asarray(sd["c2.bias"])},
+        "Conv_2": {"kernel": jnp.asarray(conv(sd["c3.weight"])),
+                   "bias": jnp.asarray(sd["c3.bias"])},
+        "Dense_0": {"kernel": jnp.asarray(f1w.T), "bias": jnp.asarray(sd["f1.bias"])},
+        "Dense_1": {"kernel": jnp.asarray(sd["f2.weight"].T),
+                    "bias": jnp.asarray(sd["f2.bias"])},
+        "Dense_2": {"kernel": jnp.asarray(sd["f3.weight"].T),
+                    "bias": jnp.asarray(sd["f3.bias"])},
+    }
+
+
+def measure_torch_cpu(n, repeats=2):
+    """Same computation in PyTorch on CPU via torch.func (functorch-style).
+
+    Returns ``(median_ms, eigenvalues, flax_params_with_same_weights)`` so the
+    caller can measure cross-framework eigenvalue parity on identical weights.
+    """
+    import torch
+    from torch.func import functional_call, jacrev, vmap
+
+    model = _torch_model()
+    params = dict(model.named_parameters())
+    X_np, y_np = _synthetic_batch(n)
+    X = torch.tensor(X_np).permute(0, 3, 1, 2).contiguous()
+
+    def single_out(p, x):
+        return functional_call(model, p, (x.unsqueeze(0),)).squeeze(0)
+
+    def step():
+        with torch.no_grad():
+            f = functional_call(model, params, (X,))
+            p_soft = torch.softmax(f, dim=1)
+        # per-sample Jacobians [N, C, D_leaf]
+        J = vmap(jacrev(single_out), in_dims=(None, 0))(params, X)
+        # Vᵀ = sqrt-Hessian rows applied to J, scaled by 1/√N (mean reduction)
+        sqrtp = torch.sqrt(p_soft)
+        S = sqrtp.unsqueeze(2) * (
+            torch.eye(NUM_CLASSES).unsqueeze(0) - p_soft.unsqueeze(1)
+        )  # [N, C, C]
+        gram = 0.0
+        for leaf in J.values():
+            Jl = leaf.flatten(2)  # [N, C, D_l]
+            Vl = torch.einsum("nck,nkd->ncd", S, Jl) / np.sqrt(n)
+            Vf = Vl.permute(1, 0, 2).reshape(NUM_CLASSES * n, -1)
+            gram = gram + Vf @ Vf.T
+        return torch.linalg.eigvalsh(gram)
+
+    evals = step()  # warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        evals = step()
+        times.append(time.perf_counter() - t0)
+    return (float(np.median(times) * 1000), evals.detach().numpy(),
+            torch_params_to_flax(model))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=N_DEFAULT)
+    ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--refresh-baseline", action="store_true")
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    ours_ms, evals = measure_vivit_tpu(args.batch, args.repeats)
+
+    baseline_ms = None
+    cache_key = f"torch_cpu_n{args.batch}"
+    if not args.skip_baseline:
+        cache = {}
+        if os.path.exists(BASELINE_CACHE):
+            with open(BASELINE_CACHE) as f:
+                cache = json.load(f)
+        if args.refresh_baseline or cache_key not in cache:
+            try:
+                torch_ms, torch_evals, flax_params = measure_torch_cpu(args.batch)
+                # cross-framework parity on IDENTICAL weights
+                import jax.numpy as jnp
+
+                import vivit_tpu as vt
+                from vivit_tpu.models import CNN3c3d
+
+                module = CNN3c3d(NUM_CLASSES)
+                model_fn = lambda p, x: module.apply({"params": p}, x)
+                X_np, y_np = _synthetic_batch(args.batch)
+                comp = vt.EigvalshComputation(
+                    model_fn, vt.CrossEntropyLoss("mean")
+                )
+                (ours_evals,) = comp.compute(
+                    flax_params, jnp.asarray(X_np), jnp.asarray(y_np)
+                )
+                top = 20
+                parity = float(
+                    np.max(
+                        np.abs(
+                            np.asarray(ours_evals)[-top:]
+                            - np.sort(torch_evals)[-top:]
+                        )
+                        / np.abs(np.sort(torch_evals)[-top:])
+                    )
+                )
+                cache[cache_key] = {"ms": torch_ms, "top20_eigval_rel_err": parity}
+                with open(BASELINE_CACHE, "w") as f:
+                    json.dump(cache, f, indent=1)
+            except Exception as e:  # torch missing / OOM — report ours alone
+                print(f"# baseline measurement failed: {e}", flush=True)
+        if cache_key in cache:
+            baseline_ms = cache[cache_key]["ms"]
+
+    vs_baseline = (baseline_ms / ours_ms) if baseline_ms else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "gram_build_eigh_wallclock_per_step_cifar10_3c3d_exact_ggn",
+                "value": round(ours_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

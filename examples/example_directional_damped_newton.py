@@ -1,0 +1,61 @@
+"""Damped Newton steps in the GGN eigenbasis (mirrors reference
+docs/examples/basic_usage/example_directional_damped_newton.py).
+
+Runs a few second-order training steps on synthetic data and shows the loss
+decreasing — the end-to-end optimizer use case.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import vivit_tpu as vt
+from vivit_tpu.models import MLP, init_model
+from vivit_tpu.utils.tree import leaf_paths
+
+N, D_IN, C = 32, 8, 3
+rng = np.random.default_rng(3)
+X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+
+model_fn, params = init_model(MLP(features=(16, C)), (D_IN,), seed=3)
+loss = vt.CrossEntropyLoss("mean")
+
+# class API with criterion + damping callables (reference protocol)
+comp = vt.DirectionalDampedNewtonComputation(model_fn, loss)
+group = {
+    "params": leaf_paths(params),
+    "criterion": vt.keep_top_k(8, must_exceed=1e-4),
+    "damping": vt.constant_damping(1.0),
+}
+
+losses = [float(loss(model_fn(params, X), y))]
+for step_idx in range(5):
+    (step,) = comp.compute(params, X, y, [group])
+    updates = dict(zip(group["params"], step))
+    from vivit_tpu.utils.tree import flatten_with_paths
+
+    flat = dict(flatten_with_paths(params))
+    for path, delta in updates.items():
+        flat[path] = flat[path] + delta
+    # rebuild the pytree
+    import jax.tree_util as jtu
+
+    leaves_paths, treedef = jtu.tree_flatten_with_path(params)
+    from vivit_tpu.utils.tree import path_str
+
+    params = jtu.tree_unflatten(
+        treedef, [flat[path_str(kp)] for kp, _ in leaves_paths]
+    )
+    losses.append(float(loss(model_fn(params, X), y)))
+
+print("loss trajectory:", [f"{l:.4f}" for l in losses])
+assert losses[-1] < losses[0], "Newton steps should reduce the loss"
+print("Loss decreased under damped Newton. ✓")
+
+# the fused jitted one-liner used in production training loops
+step = jax.jit(
+    lambda p, X, y: vt.newton_step_topk(model_fn, loss, p, X, y, k=8, damping=1.0)
+)(params, X, y)
+print("fused newton_step_topk leaf norms:",
+      [f"{float(jnp.linalg.norm(s)):.2e}" for s in step])

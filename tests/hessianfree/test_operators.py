@@ -1,0 +1,179 @@
+"""Matrix-free operator parity (mirrors test/hessianfree/test___init__.py).
+
+GGN/Hessian matvecs over a multi-batch dataset are checked against the
+explicit dataset-wide matrices; Lanczos quadrature must recover the spectrum
+of a known operator; LowRank/Projector behave algebraically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+from vivit_tpu.hessianfree import (
+    GGNLinearOperator,
+    HessianLinearOperator,
+    LowRank,
+    Projector,
+    fast_lanczos,
+    fast_lanczos_jax,
+    ggn_operator,
+    gradient_and_loss,
+    hessian_operator,
+    lanczos_approximate_spectrum,
+)
+from tests.implementation.oracle import explicit_ggn, explicit_hessian
+from vivit_tpu.utils.tree import num_params, ravel
+
+N_BATCHES, BATCH, D_IN, H, C = 3, 4, 5, 6, 3
+
+
+def _setup(reduction="mean"):
+    rng = np.random.default_rng(11)
+    params = {
+        "w1": jnp.asarray(rng.normal(size=(D_IN, H)) / 2, jnp.float32),
+        "w2": jnp.asarray(rng.normal(size=(H, C)) / 2, jnp.float32),
+    }
+
+    def model_fn(p, x):
+        return jnp.tanh(x @ p["w1"]) @ p["w2"]
+
+    data = []
+    for _ in range(N_BATCHES):
+        X = rng.normal(size=(BATCH, D_IN)).astype(np.float32)
+        y = rng.integers(0, C, size=(BATCH,)).astype(np.int32)
+        data.append((X, y))
+    return model_fn, params, data, vt.CrossEntropyLoss(reduction)
+
+
+def _dataset_matrix(model_fn, loss, params, data, kind):
+    """Explicit dataset operator: Σ_b w_b · M_batch (w = n_b/N for mean)."""
+    n_data = sum(X.shape[0] for X, _ in data)
+    M = 0.0
+    for X, y in data:
+        w = X.shape[0] / n_data if loss.reduction == "mean" else 1.0
+        if kind == "ggn":
+            Mb = explicit_ggn(model_fn, loss, params, jnp.asarray(X),
+                              jnp.asarray(y))
+        else:
+            Mb = explicit_hessian(model_fn, loss, params, jnp.asarray(X),
+                                  jnp.asarray(y))
+        M = M + w * Mb
+    return M
+
+
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
+def test_ggn_operator_matvec(reduction):
+    model_fn, params, data, loss = _setup(reduction)
+    G = _dataset_matrix(model_fn, loss, params, data, "ggn")
+    op = ggn_operator(model_fn, loss, params, data)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        v = rng.normal(size=(G.shape[0],)).astype(np.float32)
+        assert np.allclose(np.asarray(op(jnp.asarray(v))), G @ v,
+                           rtol=1e-4, atol=1e-6)
+
+
+def test_hessian_operator_matvec():
+    model_fn, params, data, loss = _setup()
+    Hm = _dataset_matrix(model_fn, loss, params, data, "hessian")
+    op = hessian_operator(model_fn, loss, params, data)
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(Hm.shape[0],)).astype(np.float32)
+    assert np.allclose(np.asarray(op(jnp.asarray(v))), Hm @ v,
+                       rtol=1e-4, atol=1e-6)
+
+
+def test_scipy_wrapper_and_determinism_check():
+    model_fn, params, data, loss = _setup()
+    op = GGNLinearOperator(model_fn, loss, params, data,
+                           check_deterministic=True)
+    G = _dataset_matrix(model_fn, loss, params, data, "ggn")
+    v = np.random.default_rng(2).normal(size=(G.shape[0],)).astype(np.float32)
+    assert np.allclose(op @ v, G @ v, rtol=1e-4, atol=1e-6)
+
+    # scipy view plugs into eigsh
+    from scipy.sparse.linalg import eigsh
+
+    top = eigsh(op.as_scipy(), k=1, which="LA", return_eigenvectors=False)
+    assert np.isclose(top[0], np.linalg.eigvalsh(G)[-1], rtol=1e-3)
+
+
+def test_gradient_and_loss_normalization():
+    model_fn, params, data, loss = _setup()
+    g, l = gradient_and_loss(model_fn, loss, params, data)
+    X_all = np.concatenate([X for X, _ in data])
+    y_all = np.concatenate([y for _, y in data])
+    want_l = float(loss(model_fn(params, jnp.asarray(X_all)), jnp.asarray(y_all)))
+    want_g = jax.grad(
+        lambda p: loss(model_fn(p, jnp.asarray(X_all)), jnp.asarray(y_all))
+    )(params)
+    assert np.isclose(float(l), want_l, rtol=1e-5)
+    assert np.allclose(np.asarray(ravel(g)), np.asarray(ravel(want_g)),
+                       rtol=1e-4, atol=1e-7)
+
+
+def test_ragged_batches_rejected():
+    model_fn, params, data, loss = _setup()
+    bad = data + [(data[0][0][:2], data[0][1][:2])]
+    with pytest.raises(ValueError, match="equal size"):
+        ggn_operator(model_fn, loss, params, bad)
+
+
+def test_fast_lanczos_recovers_spectrum():
+    """With ncv == dim, Lanczos recovers the full spectrum of a small matrix."""
+    rng = np.random.default_rng(3)
+    Q, _ = np.linalg.qr(rng.normal(size=(12, 12)))
+    evals_true = np.sort(rng.uniform(0.1, 5.0, size=12))
+    A = Q @ np.diag(evals_true) @ Q.T
+
+    class Op:
+        shape = A.shape
+
+        def __matmul__(self, v):
+            return A @ v
+
+    evals, _ = fast_lanczos(Op(), ncv=12, seed=0)
+    assert np.allclose(np.sort(evals), evals_true, rtol=1e-6, atol=1e-8)
+
+
+def test_fast_lanczos_jax_extreme_ritz_values():
+    """f32 Lanczos without reorthogonalization produces ghost eigenvalues
+    (by design, reference :13-30) — but the extreme Ritz values must match
+    the spectrum edges and all Ritz values must lie inside the spectrum."""
+    rng = np.random.default_rng(4)
+    Q, _ = np.linalg.qr(rng.normal(size=(16, 16)))
+    evals_true = np.sort(rng.uniform(0.5, 4.0, size=16))
+    A = jnp.asarray(Q @ np.diag(evals_true) @ Q.T, jnp.float32)
+    evals, _ = fast_lanczos_jax(lambda v: A @ v, 16, 16, jax.random.PRNGKey(0))
+    ev = np.sort(np.asarray(evals))
+    assert np.isclose(ev[-1], evals_true[-1], rtol=1e-4)
+    assert np.isclose(ev[0], evals_true[0], rtol=1e-3)
+    assert np.all(ev > evals_true[0] - 1e-3)
+    assert np.all(ev < evals_true[-1] + 1e-3)
+
+
+def test_lanczos_spectrum_density_integrates_to_one():
+    model_fn, params, data, loss = _setup()
+    op = GGNLinearOperator(model_fn, loss, params, data,
+                           check_deterministic=False).as_scipy()
+    grid, density = lanczos_approximate_spectrum(op, ncv=20, num_points=256,
+                                                 num_repeats=2, seed=0)
+    integral = np.trapezoid(density, grid)
+    assert 0.5 < integral < 1.5  # normalized density up to smoothing error
+
+
+def test_lowrank_and_projector():
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(20, 3)).astype(np.float32)
+    c = rng.uniform(1, 2, size=3).astype(np.float32)
+    op = LowRank(c, A)
+    x = rng.normal(size=20).astype(np.float32)
+    want = (A * c[None, :]) @ (A.T @ x)
+    assert np.allclose(op @ x, want, rtol=1e-5, atol=1e-6)
+
+    Q, _ = np.linalg.qr(rng.normal(size=(20, 4)))
+    proj = Projector(Q.astype(np.float32))
+    y = proj @ x
+    assert np.allclose(proj @ y, y, rtol=1e-4, atol=1e-5)  # idempotent

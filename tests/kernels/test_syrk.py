@@ -1,0 +1,69 @@
+"""Pallas SYRK kernel correctness (interpreter mode on CPU).
+
+The TPU-compiled path is exercised by ``bench.py`` on hardware; here the
+kernel logic (upper-triangle pair grid, K-revisiting accumulator, padding,
+mirroring) runs under the Pallas interpreter against ``A @ Aᵀ``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vivit_tpu.kernels.syrk import syrk
+
+
+@pytest.mark.parametrize(
+    "m,k",
+    [(256, 512), (384, 1024), (260, 700)],  # aligned and ragged shapes
+    ids=["aligned", "multi-block", "ragged"],
+)
+def test_syrk_matches_xla(m, k):
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    want = np.asarray(
+        jnp.dot(a, a.T, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    )
+    got = np.asarray(syrk(a, block_m=128, block_k=256, interpret=True))
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want))
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-5 * scale)
+
+
+def test_syrk_symmetry():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(300, 400)).astype(np.float32))
+    got = np.asarray(syrk(a, block_m=128, block_k=128, interpret=True))
+    assert np.allclose(got, got.T)
+
+
+def test_syrk_bfloat16_input():
+    rng = np.random.default_rng(2)
+    a32 = rng.normal(size=(256, 512)).astype(np.float32)
+    a16 = jnp.asarray(a32, jnp.bfloat16)
+    got = np.asarray(syrk(a16, block_m=128, block_k=256, interpret=True))
+    assert got.dtype == np.float32
+    want = np.asarray(a16, np.float32) @ np.asarray(a16, np.float32).T
+    assert np.allclose(got, want, rtol=2e-2, atol=2e-2 * np.max(np.abs(want)))
+
+
+def test_gram_matrix_use_syrk_path():
+    """The library Gram entry point dispatches to the kernel correctly
+    (``syrk_auto`` picks interpreter mode on CPU)."""
+    import vivit_tpu as vt
+    from vivit_tpu.gram import gram_matrix
+
+    rng = np.random.default_rng(3)
+    params = {"w": jnp.asarray(rng.normal(size=(6, 3)), jnp.float32)}
+
+    def model_fn(p, x):
+        return x @ p["w"]
+
+    X = jnp.asarray(rng.normal(size=(5, 6)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 3, size=(5,)), jnp.int32)
+    vt_tree = vt.ggn_sqrt_vt(model_fn, vt.CrossEntropyLoss("mean"), params, X, y)
+
+    got = np.asarray(gram_matrix(vt_tree, use_syrk=True))
+    want = np.asarray(gram_matrix(vt_tree))
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-6)

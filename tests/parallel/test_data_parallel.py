@@ -1,0 +1,114 @@
+"""Multi-chip data parallelism on the 8-device virtual CPU mesh.
+
+The distributed path must reproduce the single-chip results on the global
+batch bit-for-tolerance: eigenvalues via the ICI Gram allreduce, and the full
+damped-Newton training step (sharded γ/λ, psum-assembled step).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import vivit_tpu as vt
+from vivit_tpu.parallel import eigvalsh_dp, newton_step_dp
+from vivit_tpu.utils.tree import ravel
+
+N_DEV = 8
+N, D_IN, H, C = 16, 5, 6, 3
+
+
+def _mesh():
+    devices = jax.devices()
+    if len(devices) < N_DEV:
+        pytest.skip(f"need {N_DEV} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:N_DEV]), ("data",))
+
+
+def _setup():
+    rng = np.random.default_rng(21)
+    params = {
+        "w1": jnp.asarray(rng.normal(size=(D_IN, H)) / 2, jnp.float32),
+        "b1": jnp.asarray(rng.normal(size=(H,)) * 0.1, jnp.float32),
+        "w2": jnp.asarray(rng.normal(size=(H, C)) / 2, jnp.float32),
+    }
+
+    def model_fn(p, x):
+        return jnp.tanh(x @ p["w1"] + p["b1"]) @ p["w2"]
+
+    X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+    return model_fn, params, X, y
+
+
+def test_eigvalsh_dp_matches_single_chip():
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+
+    fn = eigvalsh_dp(model_fn, loss, mesh)
+    evals_dp = np.sort(np.asarray(fn(params, X, y, None)))
+
+    (evals_sc,) = vt.EigvalshComputation(model_fn, loss).compute(params, X, y)
+    evals_sc = np.sort(np.asarray(evals_sc))
+    assert np.allclose(evals_dp, evals_sc, rtol=1e-4, atol=5e-6)
+
+
+def test_eigvalsh_dp_sum_reduction():
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("sum")
+    fn = eigvalsh_dp(model_fn, loss, mesh)
+    evals_dp = np.sort(np.asarray(fn(params, X, y, None)))
+    (evals_sc,) = vt.EigvalshComputation(model_fn, loss).compute(params, X, y)
+    assert np.allclose(evals_dp, np.sort(np.asarray(evals_sc)),
+                       rtol=1e-4, atol=5e-6)
+
+
+def test_newton_step_dp_matches_single_chip():
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    k = 4
+
+    fn = newton_step_dp(model_fn, loss, mesh, k_top=k, damping=1.0)
+    evals_dp, step_dp = fn(params, X, y, None)
+
+    step_sc = vt.newton_step_topk(model_fn, loss, params, X, y, k, damping=1.0)
+    flat_sc = np.concatenate([np.asarray(s).ravel() for s in step_sc])
+    flat_dp = np.asarray(ravel(step_dp))
+    assert np.allclose(flat_dp, flat_sc, rtol=1e-4, atol=1e-6)
+
+
+def test_eigvalsh_dp_sharded_inputs():
+    """Explicitly sharded global arrays work and keep the batch distributed."""
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    sharding = NamedSharding(mesh, P("data"))
+    X_sh = jax.device_put(X, sharding)
+    y_sh = jax.device_put(y, sharding)
+    fn = eigvalsh_dp(model_fn, loss, mesh)
+    evals = np.asarray(fn(params, X_sh, y_sh, None))
+    (evals_sc,) = vt.EigvalshComputation(model_fn, loss).compute(params, X, y)
+    assert np.allclose(np.sort(evals), np.sort(np.asarray(evals_sc)),
+                       rtol=1e-4, atol=5e-6)
+
+
+def test_mc_dp_deterministic_across_layouts():
+    """MC sampling folds global sample ids — invariant to chip layout."""
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    key = jax.random.PRNGKey(3)
+
+    fn = eigvalsh_dp(model_fn, loss, mesh, mc_samples=2)
+    evals_dp = np.sort(np.asarray(fn(params, X, y, key)))
+
+    # single-chip with the same global sample ids
+    (evals_sc,) = vt.EigvalshComputation(model_fn, loss, mc_samples=2).compute(
+        params, X, y, key=key
+    )
+    assert np.allclose(evals_dp, np.sort(np.asarray(evals_sc)),
+                       rtol=1e-4, atol=5e-6)

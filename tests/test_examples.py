@@ -1,0 +1,16 @@
+"""Examples double as integration tests (the reference's sphinx-gallery
+scripts serve the same role, SURVEY §1 L5)."""
+
+import pathlib
+import runpy
+
+import pytest
+
+EXAMPLES = sorted(
+    (pathlib.Path(__file__).parent.parent / "examples").glob("example_*.py")
+)
+
+
+@pytest.mark.parametrize("script", EXAMPLES, ids=lambda p: p.stem)
+def test_example_runs(script):
+    runpy.run_path(str(script), run_name="__main__")

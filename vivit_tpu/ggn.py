@@ -86,6 +86,8 @@ def ggn_sqrt_vt(
     mc_samples: int = 0,
     key: Optional[jax.Array] = None,
     batch_size: Optional[int] = None,
+    column_scale: Optional[jnp.ndarray] = None,
+    sample_ids: Optional[jnp.ndarray] = None,
 ) -> Any:
     """Compute ``Vᵀ`` as a pytree with leading ``[CF, S]`` axes per leaf.
 
@@ -110,15 +112,25 @@ def ggn_sqrt_vt(
         batch_size: Global batch size ``N`` used for the reduction weight.
             Defaults to ``X.shape[0]``; pass the *global* batch when ``X`` is
             a per-chip shard.
+        column_scale: Override the per-column scale (default
+            ``√(ρ(N)·N/S)``).  Data-parallel shards pass ``√ρ(N_global)``
+            because the global Gram *sums* shards rather than estimating the
+            batch from them (see :mod:`vivit_tpu.parallel`).
+        sample_ids: Global sample indices used for MC PRNG folding (default:
+            ``subsampling`` or ``arange``).  Data-parallel shards pass their
+            global positions so MC draws are invariant to the chip layout.
 
     Returns:
         Pytree of ``Vᵀ`` blocks (same structure as ``params``).
     """
     check_subsampling_unique(subsampling)
     N = batch_size if batch_size is not None else X.shape[0]
-    sample_ids = (
-        jnp.asarray(subsampling) if subsampling is not None else jnp.arange(X.shape[0])
-    )
+    if sample_ids is None:
+        sample_ids = (
+            jnp.asarray(subsampling)
+            if subsampling is not None
+            else jnp.arange(X.shape[0])
+        )
     Xs, ys = _subsample(X, y, subsampling)
     S = Xs.shape[0]
 
@@ -126,8 +138,9 @@ def ggn_sqrt_vt(
     factors = loss_hessian_sqrt(
         loss, f, ys, mc_samples=mc_samples, key=key, sample_ids=sample_ids
     )  # [S, CF, C]
-    scale = jnp.sqrt(jnp.asarray(loss.rho(N) * N / S, dtype=factors.dtype))
-    factors = factors * scale
+    if column_scale is None:
+        column_scale = jnp.sqrt(jnp.asarray(loss.rho(N) * N / S))
+    factors = factors * jnp.asarray(column_scale, dtype=factors.dtype)
 
     def vt_column(x_n, s_row):
         """One V column: J_nᵀ s — vjp of the single-sample forward."""

@@ -53,9 +53,9 @@ def gram_matrix(
     """
     mats = _leaf_mats(vt, paths)
     if use_syrk:
-        from vivit_tpu.kernels.syrk import syrk
+        from vivit_tpu.kernels.syrk import syrk_auto
 
-        return sum(syrk(m) for m in mats)
+        return sum(syrk_auto(m) for m in mats)
     out = None
     for m in mats:
         g = jnp.dot(

@@ -1,0 +1,46 @@
+"""Low-rank utility operators (reference vivit/hessianfree/utils.py:7-57)."""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class LowRank:
+    """Linear operator for ``Σ_i c_i a_i a_iᵀ`` (reference :7-43).
+
+    Matvecs run as two skinny device matmuls: ``A (c ⊙ (Aᵀ x))``.
+    Accepts numpy or jnp inputs; exposes both the ``@`` protocol and a
+    ``scipy.sparse.linalg.LinearOperator`` view.
+    """
+
+    def __init__(self, c, A):
+        self._A = jnp.asarray(A)
+        self._c = jnp.asarray(c)
+        self.shape = (self._A.shape[0], self._A.shape[0])
+        self.dtype = np.dtype(np.asarray(A).dtype)
+        self._matvec_jit = jax.jit(
+            lambda x: self._A @ (self._c * (self._A.T @ x))
+        )
+
+    def _matvec(self, x):
+        return np.asarray(self._matvec_jit(jnp.asarray(x).reshape(-1)))
+
+    def matvec(self, x):
+        return self._matvec(x)
+
+    def __matmul__(self, x):
+        return self._matvec(x)
+
+    def as_scipy(self):
+        from scipy.sparse.linalg import LinearOperator as ScipyLO
+
+        return ScipyLO(shape=self.shape, dtype=self.dtype, matvec=self._matvec)
+
+
+class Projector(LowRank):
+    """Projector onto the orthonormal basis ``{a_i}`` (reference :46-57)."""
+
+    def __init__(self, A):
+        super().__init__(np.ones(np.asarray(A).shape[1]), A)

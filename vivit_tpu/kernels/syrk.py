@@ -1,0 +1,125 @@
+"""Pallas TPU kernel: symmetric rank-k update ``A Aᵀ`` (SYRK).
+
+The Gram build ``G̃ = Vᵀ V`` is the FLOP-dominant step of every computation
+in this framework (SURVEY §3.1 hot spots).  XLA computes the full ``[M, M]``
+product; this kernel exploits symmetry and computes only the
+``T(T+1)/2`` upper-triangle blocks — a ~2× FLOP reduction for large ``M`` —
+then mirrors the result.
+
+Implementation notes (see /opt/skills/guides/pallas_guide.md):
+
+* 1-D grid over upper-triangle block pairs × a K-reduction grid dimension;
+  the pair → (block-row, block-col) maps are **scalar-prefetched** arrays so
+  the BlockSpec index maps can read them before the body runs
+  (``PrefetchScalarGridSpec``).
+* The output block index depends only on the pair index, so Pallas keeps the
+  accumulator resident in VMEM across the K sweep (revisiting pattern);
+  ``@pl.when(k == 0)`` zero-initializes it.
+* Accumulation is always float32 (``preferred_element_type``), inputs may be
+  bfloat16 for 2× MXU throughput.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _syrk_kernel(bi_ref, bj_ref, a_row_ref, a_col_ref, out_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jax.lax.dot_general(
+        a_row_ref[:],
+        a_col_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),  # contract K: A_i @ A_jᵀ
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pad_to(x, m, axis):
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_k", "interpret"))
+def syrk(
+    a: jnp.ndarray,
+    block_m: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``a @ a.T`` with float32 accumulation, upper-triangle blocks only.
+
+    Args:
+        a: ``[M, K]`` matrix (float32 or bfloat16).
+        block_m: Output tile edge (multiple of 128).
+        block_k: Reduction tile (multiple of 128).
+        interpret: Run in the Pallas interpreter (for CPU tests).
+
+    Returns:
+        ``[M, M]`` float32 symmetric Gram matrix.
+    """
+    m_orig = a.shape[0]
+    a = _pad_to(_pad_to(a, block_m, 0), block_k, 1)
+    m, k = a.shape
+    n_bm = m // block_m
+    n_bk = k // block_k
+
+    # upper-triangle block pair list (host-side, static)
+    pairs = [(i, j) for i in range(n_bm) for j in range(i, n_bm)]
+    bi = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
+    bj = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(len(pairs), n_bk),
+        in_specs=[
+            pl.BlockSpec(
+                (block_m, block_k),
+                lambda t, k, bi, bj: (bi[t], k),
+            ),
+            pl.BlockSpec(
+                (block_m, block_k),
+                lambda t, k, bi, bj: (bj[t], k),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_m, block_m),
+            lambda t, k, bi, bj: (bi[t], bj[t]),
+        ),
+    )
+
+    flops = 2 * m * m * k // 2 + 2 * m * k  # triangle + diagonal overlap
+    out = pl.pallas_call(
+        _syrk_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, m), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=a.size * a.dtype.itemsize * 2 + m * m * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bi, bj, a, a)
+
+    upper = jnp.triu(out)
+    full = upper + upper.T - jnp.diag(jnp.diagonal(out))
+    return full[:m_orig, :m_orig]
+
+
+def syrk_auto(a: jnp.ndarray, **kwargs) -> jnp.ndarray:
+    """:func:`syrk` with interpreter fallback off-TPU (tests on CPU)."""
+    platform = jax.devices()[0].platform
+    interpret = platform not in ("tpu", "axon")
+    return syrk(a, interpret=interpret, **kwargs)

@@ -30,8 +30,19 @@ from vivit_tpu.utils.checks import check_subsampling_unique
 
 
 def _gram_eigh_all(model_fn, loss, params, X, y, *, group_paths, subsampling,
-                   mc_samples, key, batch_size=None, use_syrk=False):
+                   mc_samples, key, batch_size=None, use_syrk=False,
+                   precision="highest"):
     """Stage 1: ``Vᵀ`` plus per-group (evals, evecs) of the Gram matrix."""
+    with jax.default_matmul_precision(precision):
+        return _gram_eigh_all_impl(
+            model_fn, loss, params, X, y, group_paths=group_paths,
+            subsampling=subsampling, mc_samples=mc_samples, key=key,
+            batch_size=batch_size, use_syrk=use_syrk,
+        )
+
+
+def _gram_eigh_all_impl(model_fn, loss, params, X, y, *, group_paths,
+                        subsampling, mc_samples, key, batch_size, use_syrk):
     vt = ggn_sqrt_vt(
         model_fn, loss, params, X, y,
         subsampling=subsampling, mc_samples=mc_samples, key=key,
@@ -74,6 +85,7 @@ def eigh_topk(
     key: Optional[jax.Array] = None,
     batch_size: Optional[int] = None,
     use_syrk: bool = False,
+    precision: str = "highest",
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Fully-jittable top-``k`` GGN eigenpairs (single group).
 
@@ -87,16 +99,17 @@ def eigh_topk(
 
     if paths is None:
         paths = leaf_paths(params)
-    vt = ggn_sqrt_vt(
-        model_fn, loss, params, X, y,
-        subsampling=subsampling, mc_samples=mc_samples, key=key,
-        batch_size=batch_size,
-    )
-    gram = gram_matrix(vt, paths=paths, use_syrk=use_syrk)
-    evals, evecs = jnp.linalg.eigh(gram)
-    top_evals = evals[-k:]
-    top_evecs = evecs[:, -k:]
-    return top_evals, backproject(vt, top_evecs, top_evals, paths)
+    with jax.default_matmul_precision(precision):
+        vt = ggn_sqrt_vt(
+            model_fn, loss, params, X, y,
+            subsampling=subsampling, mc_samples=mc_samples, key=key,
+            batch_size=batch_size,
+        )
+        gram = gram_matrix(vt, paths=paths, use_syrk=use_syrk)
+        evals, evecs = jnp.linalg.eigh(gram)
+        top_evals = evals[-k:]
+        top_evecs = evecs[:, -k:]
+        return top_evals, backproject(vt, top_evecs, top_evals, paths)
 
 
 class EighComputation:
@@ -115,6 +128,7 @@ class EighComputation:
         mc_samples: int = 0,
         verbose: bool = False,
         warn_small_eigvals: float = 1e-4,
+        precision: str = "highest",
     ):
         check_subsampling_unique(subsampling)
         self._model_fn = model_fn
@@ -123,6 +137,7 @@ class EighComputation:
         self._mc_samples = mc_samples
         self._verbose = verbose
         self._warn_small_eigvals = warn_small_eigvals
+        self._precision = precision
         self._jit_cache: Dict = {}
         self._evals: Dict[int, jnp.ndarray] = {}
         self._evecs: Dict[int, List[jnp.ndarray]] = {}
@@ -136,6 +151,7 @@ class EighComputation:
                 group_paths=group_paths,
                 subsampling=self._subsampling,
                 mc_samples=self._mc_samples,
+                precision=self._precision,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

@@ -43,12 +43,27 @@ def eigvalsh(
     key: Optional[jax.Array] = None,
     batch_size: Optional[int] = None,
     use_syrk: bool = False,
+    precision: str = "highest",
 ):
     """Functional core: tuple of ascending eigenvalue arrays, one per group.
 
     Pure and jittable (wrap in ``jax.jit`` with everything except
     ``params, X, y, key`` closed over).
+
+    ``precision`` sets the matmul precision for the whole pipeline
+    (model forward/backward included): ``"highest"`` for reference-grade f32
+    parity (default), ``"default"`` for bf16-MXU speed.
     """
+    with jax.default_matmul_precision(precision):
+        return _eigvalsh_impl(
+            model_fn, loss, params, X, y, group_paths=group_paths,
+            subsampling=subsampling, mc_samples=mc_samples, key=key,
+            batch_size=batch_size, use_syrk=use_syrk,
+        )
+
+
+def _eigvalsh_impl(model_fn, loss, params, X, y, *, group_paths, subsampling,
+                   mc_samples, key, batch_size, use_syrk):
     vt = ggn_sqrt_vt(
         model_fn,
         loss,
@@ -82,6 +97,7 @@ class EigvalshComputation:
         subsampling: Optional[Sequence[int]] = None,
         mc_samples: int = 0,
         verbose: bool = False,
+        precision: str = "highest",
     ):
         check_subsampling_unique(subsampling)
         self._model_fn = model_fn
@@ -89,6 +105,7 @@ class EigvalshComputation:
         self._subsampling = None if subsampling is None else tuple(subsampling)
         self._mc_samples = mc_samples
         self._verbose = verbose
+        self._precision = precision
         self._jit_cache: Dict = {}
         self._evals: Dict[int, jnp.ndarray] = {}
 
@@ -102,6 +119,7 @@ class EigvalshComputation:
                 group_paths=group_paths,
                 subsampling=self._subsampling,
                 mc_samples=self._mc_samples,
+                precision=self._precision,
             )
             self._jit_cache[cache_key] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

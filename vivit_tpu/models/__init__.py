@@ -125,15 +125,18 @@ class CNN3c3d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # symmetric (1,1) pool padding keeps the geometry bit-identical to a
+        # torch MaxPool2d(3, 2, padding=1) reference implementation
+        pool_pad = ((1, 1), (1, 1))
         x = nn.Conv(64, (5, 5), padding="VALID")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pool_pad)
         x = nn.Conv(96, (3, 3), padding="VALID")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-        x = nn.Conv(128, (3, 3), padding="SAME")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pool_pad)
+        x = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)))(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pool_pad)
         x = x.reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(512)(x))
         x = nn.relu(nn.Dense(256)(x))

@@ -77,6 +77,7 @@ def newton_step_topk(
     key: Optional[jax.Array] = None,
     batch_size: Optional[int] = None,
     use_syrk: bool = False,
+    precision: str = "highest",
 ) -> List[jnp.ndarray]:
     """Fully-jittable damped Newton step along the top-``k`` directions.
 
@@ -98,6 +99,7 @@ def newton_step_topk(
         key=key,
         batch_size=batch_size,
         use_syrk=use_syrk,
+        precision=precision,
     )
     gram, evals, evecs, v_t_g = per_group[0]
     evals_sel, evecs_sel = evals[-k:], evecs[:, -k:]
@@ -125,6 +127,7 @@ class DirectionalDampedNewtonComputation:
         mc_samples_ggn: int = 0,
         verbose: bool = False,
         warn_small_eigvals: float = 1e-4,
+        precision: str = "highest",
     ):
         check_subsampling_unique(subsampling_grad)
         check_subsampling_unique(subsampling_ggn)
@@ -139,6 +142,7 @@ class DirectionalDampedNewtonComputation:
         self._mc_samples_ggn = mc_samples_ggn
         self._verbose = verbose
         self._warn_small_eigvals = warn_small_eigvals
+        self._precision = precision
         self._jit_cache: Dict = {}
         self._newton_steps: Dict[int, List[jnp.ndarray]] = {}
 
@@ -152,6 +156,7 @@ class DirectionalDampedNewtonComputation:
                 subsampling_grad=self._subsampling_grad,
                 subsampling_ggn=self._subsampling_ggn,
                 mc_samples_ggn=self._mc_samples_ggn,
+                precision=self._precision,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

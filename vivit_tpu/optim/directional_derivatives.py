@@ -35,6 +35,7 @@ def directional_derivatives_topk(
     mc_samples_ggn: int = 0,
     key: Optional[jax.Array] = None,
     batch_size: Optional[int] = None,
+    precision: str = "highest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fully-jittable ``(evals, γ, λ)`` along the top-``k`` GGN directions."""
     from vivit_tpu.utils.tree import leaf_paths
@@ -51,6 +52,7 @@ def directional_derivatives_topk(
         mc_samples_ggn=mc_samples_ggn,
         key=key,
         batch_size=batch_size,
+        precision=precision,
     )
     gram, evals, evecs, v_t_g = per_group[0]
     gammas, lambdas = gammas_lambdas(
@@ -75,6 +77,7 @@ class DirectionalDerivativesComputation:
         mc_samples_ggn: int = 0,
         verbose: bool = False,
         warn_small_eigvals: float = 1e-4,
+        precision: str = "highest",
     ):
         check_subsampling_unique(subsampling_grad)
         check_subsampling_unique(subsampling_ggn)
@@ -89,6 +92,7 @@ class DirectionalDerivativesComputation:
         self._mc_samples_ggn = mc_samples_ggn
         self._verbose = verbose
         self._warn_small_eigvals = warn_small_eigvals
+        self._precision = precision
         self._jit_cache: Dict = {}
         self._gammas: Dict[int, jnp.ndarray] = {}
         self._lambdas: Dict[int, jnp.ndarray] = {}
@@ -103,6 +107,7 @@ class DirectionalDerivativesComputation:
                 subsampling_grad=self._subsampling_grad,
                 subsampling_ggn=self._subsampling_ggn,
                 mc_samples_ggn=self._mc_samples_ggn,
+                precision=self._precision,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

@@ -43,12 +43,26 @@ def derivatives_stage1(
     key: Optional[jax.Array],
     batch_size: Optional[int] = None,
     use_syrk: bool = False,
+    precision: str = "highest",
 ):
     """Jittable stage 1: ``Vᵀ``, per-group Gram eigendecomposition, ``Vᵀ G``.
 
     Returns ``(vt, per_group)`` where each per-group entry is
     ``(gram [CFS, CFS], evals [CFS], evecs [CFS, CFS], V_t_g [CFS, N_grad])``.
     """
+    with jax.default_matmul_precision(precision):
+        return _derivatives_stage1_impl(
+            model_fn, loss, params, X, y, group_paths=group_paths,
+            subsampling_grad=subsampling_grad, subsampling_ggn=subsampling_ggn,
+            mc_samples_ggn=mc_samples_ggn, key=key, batch_size=batch_size,
+            use_syrk=use_syrk,
+        )
+
+
+def _derivatives_stage1_impl(
+    model_fn, loss, params, X, y, *, group_paths, subsampling_grad,
+    subsampling_ggn, mc_samples_ggn, key, batch_size, use_syrk,
+):
     if loss.reduction != "mean":
         raise ValueError(
             "Directional derivatives require reduction='mean' "

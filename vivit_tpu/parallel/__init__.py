@@ -1,0 +1,237 @@
+"""Data-parallel multi-chip curvature over a ``jax.sharding.Mesh``.
+
+The reference has no distributed components (SURVEY §2.3); this module is the
+north-star addition: the mini-batch is sharded over a ``data`` mesh axis, each
+chip computes the ``Vᵀ`` columns of its shard, and the global ``NC×NC`` Gram
+matrix is assembled over ICI.
+
+Communication design (scaling-book style — reshard the *contraction*
+dimension instead of gathering the big operand):
+
+1. every chip holds ``V_local [cols_local, D]``,
+2. ``all_to_all`` reshards to ``[cols_global, D/k]`` — each chip sends
+   ``(k−1)/k`` of its ``V`` once over ICI,
+3. one local MXU matmul forms a partial ``[cols_global, cols_global]`` Gram,
+4. ``psum`` over the mesh reduces the (small) Gram blocks — this is the
+   "allreduce Gram blocks over ICI" of the north star,
+5. the eigendecomposition is replicated (Gram is tiny next to ``D``);
+   per-sample results (γ, λ) stay sharded with the batch; parameter-space
+   vectors (eigenvectors, Newton steps) are ``psum``-assembled.
+
+Global Gram column order is ``(device, cf, local_sample)`` — a permutation of
+the single-chip ``(cf, sample)`` order.  Eigenvalues are permutation
+invariant, and every consumer in this module uses the same layout, so
+results match the single-chip API exactly (tested on an 8-device CPU mesh).
+"""
+
+from functools import partial
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vivit_tpu.ggn import batch_grad, ggn_sqrt_vt
+from vivit_tpu.losses import Loss
+from vivit_tpu.utils.tree import flatten_with_paths
+
+DEFAULT_AXIS = "data"
+
+
+def _flatten_vt(vt) -> jnp.ndarray:
+    """``Vᵀ`` pytree → ``[CF·S, D]`` matrix (cf-major columns)."""
+    mats = []
+    for _, leaf in flatten_with_paths(vt):
+        cf, s = leaf.shape[:2]
+        mats.append(jnp.reshape(leaf, (cf * s, -1)))
+    return jnp.concatenate(mats, axis=1)
+
+
+def sharded_gram(v_local: jnp.ndarray, axis_name: str = DEFAULT_AXIS,
+                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Global Gram of device-sharded ``V`` columns (inside ``shard_map``).
+
+    Args:
+        v_local: ``[cols_local, D]`` — this chip's ``Vᵀ`` rows.
+        axis_name: Mesh axis carrying the batch shards.
+
+    Returns:
+        Replicated ``[cols_local·k, cols_local·k]`` global Gram, column order
+        ``(device, local_col)``.
+    """
+    k = jax.lax.axis_size(axis_name)
+    d = v_local.shape[1]
+    pad = (-d) % k
+    if pad:
+        v_local = jnp.pad(v_local, ((0, 0), (0, pad)))
+    # reshard: split D over chips, gather all columns
+    v_resharded = jax.lax.all_to_all(
+        v_local, axis_name, split_axis=1, concat_axis=0, tiled=True
+    )  # [cols_local * k, D/k]
+    partial_gram = jnp.dot(
+        v_resharded, v_resharded.T,
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    return jax.lax.psum(partial_gram, axis_name)
+
+
+def eigvalsh_dp(
+    model_fn,
+    loss: Loss,
+    mesh: Mesh,
+    *,
+    mc_samples: int = 0,
+    axis_name: str = DEFAULT_AXIS,
+    precision: str = "highest",
+) -> Callable:
+    """Build a jitted data-parallel GGN eigenvalue function.
+
+    Returns ``fn(params, X, y, key) -> evals`` where ``X, y`` are global
+    arrays sharded along the batch axis of ``mesh``.  Eigenvalues match the
+    single-chip :func:`vivit_tpu.linalg.eigvalsh` on the global batch.
+    """
+
+    def per_shard(params, X_l, y_l, key):
+        n_local = X_l.shape[0]
+        k = jax.lax.axis_size(axis_name)
+        n_global = n_local * k
+        ids = jax.lax.axis_index(axis_name) * n_local + jnp.arange(n_local)
+        vt = ggn_sqrt_vt_p(
+            model_fn, loss, params, X_l, y_l,
+            mc_samples=mc_samples, key=key,
+            column_scale=jnp.sqrt(jnp.asarray(loss.rho(n_global))),
+            sample_ids=ids,
+        )
+        gram = sharded_gram(_flatten_vt(vt), axis_name)
+        return jnp.linalg.eigvalsh(gram)
+
+    def ggn_sqrt_vt_p(*a, **kw):
+        with jax.default_matmul_precision(precision):
+            return ggn_sqrt_vt(*a, **kw)
+
+    shard_fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
+def newton_step_dp(
+    model_fn,
+    loss: Loss,
+    mesh: Mesh,
+    k_top: int,
+    damping: float = 1.0,
+    *,
+    mc_samples: int = 0,
+    axis_name: str = DEFAULT_AXIS,
+    precision: str = "highest",
+) -> Callable:
+    """Build a jitted data-parallel damped-Newton step (the full DP pipeline).
+
+    ``fn(params, X, y, key) -> (evals [k], step pytree)``: per-chip ``Vᵀ`` and
+    per-sample gradients, ICI Gram allreduce, replicated eigh, sharded γ/λ,
+    ``psum``-assembled parameter-space step.  Matches the single-chip
+    :func:`vivit_tpu.optim.newton_step_topk` on the global batch.
+    """
+    if loss.reduction != "mean":
+        raise ValueError("Newton step requires reduction='mean'.")
+
+    def per_shard(params, X_l, y_l, key):
+        n_local = X_l.shape[0]
+        k = jax.lax.axis_size(axis_name)
+        n_global = n_local * k
+        dev = jax.lax.axis_index(axis_name)
+        ids = dev * n_local + jnp.arange(n_local)
+
+        vt = ggn_sqrt_vt_p(
+            model_fn, loss, params, X_l, y_l,
+            mc_samples=mc_samples, key=key,
+            column_scale=jnp.sqrt(jnp.asarray(loss.rho(n_global))),
+            sample_ids=ids,
+        )
+        v_local = _flatten_vt(vt)  # [cols_local, D]
+        cols_local = v_local.shape[0]
+
+        gram = sharded_gram(v_local, axis_name)  # replicated
+        evals, evecs = jnp.linalg.eigh(gram)
+        evals_sel = evals[-k_top:]
+        evecs_sel = evecs[:, -k_top:]  # [cols_global, K]
+
+        # parameter-space directions: e_k = V ẽ_k / √λ̃  (psum over shards)
+        rows = jax.lax.dynamic_slice_in_dim(
+            evecs_sel, dev * cols_local, cols_local, axis=0
+        )  # this chip's ẽ rows
+        e_par = jax.lax.psum(v_local.T @ rows, axis_name)  # [D, K]
+        e_par = e_par / jnp.sqrt(evals_sel)[None, :]
+
+        # γ: local per-sample gradients (unscaled) against replicated e_k
+        grads = batch_grad_p(model_fn, loss, params, X_l, y_l,
+                             batch_size=n_global)
+        g_local = _flatten_vt(
+            jax.tree_util.tree_map(lambda g: g[None], grads)
+        )  # [n_local, D] via the [1, n_local, ...] flattening
+        g_local = g_local * n_global  # undo 1/N convention
+        gammas_local = g_local @ e_par  # [n_local, K]
+
+        # λ: ‖W_nᵀ e_k‖² with W_n the unscaled per-sample factors
+        # V rows for sample n are √ρ·W_n rows → λ = n_global·‖V_nᵀ... ‖²
+        cf = cols_local // n_local
+        v3 = v_local.reshape(cf, n_local, -1)
+        proj = jnp.einsum("cnd,dk->cnk", v3, e_par)  # [cf, n_local, K]
+        lambdas_local = n_global * jnp.sum(proj**2, axis=0)  # [n_local, K]
+
+        gamma_mean = jax.lax.pmean(jnp.mean(gammas_local, axis=0), axis_name)
+        lambda_mean = jax.lax.pmean(jnp.mean(lambdas_local, axis=0), axis_name)
+
+        coeff = -gamma_mean / (lambda_mean + damping)  # [K]
+        step_flat = e_par @ coeff  # [D], replicated
+        return evals_sel, step_flat
+
+    def ggn_sqrt_vt_p(*a, **kw):
+        with jax.default_matmul_precision(precision):
+            return ggn_sqrt_vt(*a, **kw)
+
+    def batch_grad_p(*a, **kw):
+        with jax.default_matmul_precision(precision):
+            return batch_grad(*a, **kw)
+
+    shard_fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def fn(params, X, y, key=None):
+        evals, step_flat = shard_fn(params, X, y, key)
+        from vivit_tpu.utils.tree import unravel_like
+
+        return evals, unravel_like(step_flat, params)
+
+    return jax.jit(fn)
+
+
+def train_step_dp(
+    model_fn,
+    loss: Loss,
+    mesh: Mesh,
+    k_top: int,
+    damping: float = 1.0,
+    lr: float = 1.0,
+    **kwargs,
+) -> Callable:
+    """Full data-parallel second-order training step: params ← params + lr·s."""
+    newton = newton_step_dp(model_fn, loss, mesh, k_top, damping, **kwargs)
+
+    def step(params, X, y, key=None):
+        evals, s = newton(params, X, y, key)
+        new_params = jax.tree_util.tree_map(lambda p, d: p + lr * d, params, s)
+        return new_params, evals
+
+    return step
