@@ -38,6 +38,10 @@ def _synthetic_batch(n):
 
 def measure_vivit_tpu(n, repeats):
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     import vivit_tpu as vt
@@ -51,9 +55,15 @@ def measure_vivit_tpu(n, repeats):
     from vivit_tpu.utils.tree import leaf_paths
 
     paths = tuple(leaf_paths(params))
+    # Tuned parity-grade config (see docs/design.md): the V transform runs at
+    # full f32 ("highest" — conv gradients dominate the parity budget), the
+    # Gram contraction at bf16 with f32 accumulation (its per-product error
+    # averages out over the 895k-long dots: top-eigenvalue deviation vs the
+    # all-f32 pipeline is 2.5e-5, well inside the reference's rtol=1e-4 bar).
     fn = jax.jit(
         lambda p, X, y: vt.eigvalsh(
-            model_fn, loss, p, X, y, group_paths=(paths,)
+            model_fn, loss, p, X, y, group_paths=(paths,),
+            precision="highest", gram_precision="bf16",
         )[0]
     )
     evals = np.asarray(fn(params, X, y))  # compile + fetch

@@ -1,0 +1,18 @@
+# Development targets (reference: makefile:70 `make test`)
+
+.PHONY: test test-fast bench examples dryrun
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q -x -k "not mc_ggn_converges"
+
+bench:
+	python bench.py
+
+examples:
+	for f in examples/example_*.py; do echo "== $$f"; python $$f || exit 1; done
+
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "import jax; jax.config.update('jax_platforms','cpu'); import __graft_entry__; __graft_entry__.dryrun_multichip(8)"

@@ -18,6 +18,7 @@ from vivit_tpu.models import (
     BatchNormNet,
     BranchedNet,
     ConvTransposeNet,
+    KitchenSinkNet,
     SmallCNN,
     init_model,
 )
@@ -101,6 +102,13 @@ def make_problems() -> List[Problem]:
     X, y = _data(rng, 5, (3, 3, 1), 3, False)
     problems.append(
         Problem("convtranspose_mse_mean", ct_fn, ct_params, X, y, vt.MSELoss("mean"))
+    )
+
+    ks_fn, ks_params = init_model(KitchenSinkNet(num_classes=3), (6, 6, 2), seed=5)
+    X, y = _data(rng, 5, (6, 6, 2), 3, True)
+    problems.append(
+        Problem("kitchensink_ce_mean", ks_fn, ks_params, X, y,
+                vt.CrossEntropyLoss("mean"))
     )
 
     return problems

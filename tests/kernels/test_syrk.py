@@ -38,6 +38,20 @@ def test_syrk_symmetry():
     assert np.allclose(got, got.T)
 
 
+def test_syrk_precision_modes():
+    """'high' = manual bf16_3x (hi/lo split) ≈ 1e-5; 'bf16' ≈ 1e-3."""
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.normal(size=(256, 700)).astype(np.float32))
+    want = np.asarray(a @ a.T)
+    scale = np.max(np.abs(want))
+    hi = np.asarray(syrk(a, block_m=128, block_k=128, interpret=True,
+                         precision="high"))
+    assert np.max(np.abs(hi - want)) / scale < 5e-5
+    bf = np.asarray(syrk(a, block_m=128, block_k=128, interpret=True,
+                         precision="bf16"))
+    assert np.max(np.abs(bf - want)) / scale < 5e-3
+
+
 def test_syrk_bfloat16_input():
     rng = np.random.default_rng(2)
     a32 = rng.normal(size=(256, 512)).astype(np.float32)

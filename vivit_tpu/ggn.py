@@ -134,13 +134,14 @@ def ggn_sqrt_vt(
     Xs, ys = _subsample(X, y, subsampling)
     S = Xs.shape[0]
 
-    f = model_fn(params, Xs)
-    factors = loss_hessian_sqrt(
-        loss, f, ys, mc_samples=mc_samples, key=key, sample_ids=sample_ids
-    )  # [S, CF, C]
-    if column_scale is None:
-        column_scale = jnp.sqrt(jnp.asarray(loss.rho(N) * N / S))
-    factors = factors * jnp.asarray(column_scale, dtype=factors.dtype)
+    with jax.named_scope("vivit/loss_hessian_sqrt"):
+        f = model_fn(params, Xs)
+        factors = loss_hessian_sqrt(
+            loss, f, ys, mc_samples=mc_samples, key=key, sample_ids=sample_ids
+        )  # [S, CF, C]
+        if column_scale is None:
+            column_scale = jnp.sqrt(jnp.asarray(loss.rho(N) * N / S))
+        factors = factors * jnp.asarray(column_scale, dtype=factors.dtype)
 
     def vt_column(x_n, s_row):
         """One V column: J_nᵀ s — vjp of the single-sample forward."""
@@ -150,7 +151,10 @@ def ggn_sqrt_vt(
     # Outer vmap over the factor axis, inner over samples: the forward pass
     # inside the vjp has no factor dependence, so XLA runs it once (batched
     # over S) and batches only the backward over [CF, S].
-    vt = jax.vmap(lambda s_col: jax.vmap(vt_column)(Xs, s_col), in_axes=1)(factors)
+    with jax.named_scope("vivit/v_transform"):
+        vt = jax.vmap(lambda s_col: jax.vmap(vt_column)(Xs, s_col), in_axes=1)(
+            factors
+        )
     return vt
 
 

@@ -22,7 +22,10 @@ import numpy as np
 
 from vivit_tpu.utils.tree import flatten_with_paths, select_paths
 
-DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
+# ``None`` inherits the ambient ``jax.default_matmul_precision`` context —
+# the pipeline-level ``precision`` knob therefore governs these contractions
+# too (the library wraps every pipeline in that context, default "highest").
+DEFAULT_PRECISION = None
 
 
 def _leaf_mats(vt: Any, paths: Optional[Sequence[str]] = None) -> List[jnp.ndarray]:
@@ -51,18 +54,30 @@ def gram_matrix(
 
     Accumulation is in float32 regardless of ``vt`` dtype.
     """
-    mats = _leaf_mats(vt, paths)
-    if use_syrk:
-        from vivit_tpu.kernels.syrk import syrk_auto
+    with jax.named_scope("vivit/gram"):
+        mats = _leaf_mats(vt, paths)
+        if use_syrk:
+            from vivit_tpu.kernels.syrk import syrk_auto
 
-        return sum(syrk_auto(m) for m in mats)
-    out = None
-    for m in mats:
-        g = jnp.dot(
-            m, m.T, precision=precision, preferred_element_type=jnp.float32
-        )
-        out = g if out is None else out + g
-    return out
+            syrk_prec = {
+                jax.lax.Precision.HIGHEST: "highest",
+                jax.lax.Precision.HIGH: "high",
+                jax.lax.Precision.DEFAULT: "bf16",
+                "highest": "highest",
+                "high": "high",
+                "bf16": "bf16",
+                None: "highest",
+            }[precision]
+            # one kernel launch over the concatenated [CF·S, D] matrix —
+            # per-leaf launches would pad tiny bias leaves to full tiles
+            return syrk_auto(jnp.concatenate(mats, axis=1), precision=syrk_prec)
+        out = None
+        for m in mats:
+            g = jnp.dot(
+                m, m.T, precision=precision, preferred_element_type=jnp.float32
+            )
+            out = g if out is None else out + g
+        return out
 
 
 def reshape_as_square(mat: jnp.ndarray) -> jnp.ndarray:

@@ -28,19 +28,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _syrk_kernel(bi_ref, bj_ref, a_row_ref, a_col_ref, out_ref):
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    out_ref[:] += jax.lax.dot_general(
-        a_row_ref[:],
-        a_col_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),  # contract K: A_i @ A_jᵀ
-        preferred_element_type=jnp.float32,
+def _make_syrk_kernel(precision):
+    three_pass = precision == "high"
+    dot_precision = (
+        jax.lax.Precision.DEFAULT if three_pass else precision
     )
+
+    def _dot(a, b):
+        return jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (1,)), ((), ())),  # contract K: A_i @ A_jᵀ
+            preferred_element_type=jnp.float32,
+            precision=dot_precision,
+        )
+
+    def _syrk_kernel(bi_ref, bj_ref, a_row_ref, a_col_ref, out_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        if three_pass:
+            # manual bf16_3x (Mosaic rejects Precision.HIGH on dots):
+            # a ≈ hi + lo with hi = bf16(a); drop the tiny lo·loᵀ term.
+            r, c = a_row_ref[:], a_col_ref[:]
+            r_hi = r.astype(jnp.bfloat16)
+            c_hi = c.astype(jnp.bfloat16)
+            r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            c_lo = (c - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out_ref[:] += _dot(r_hi, c_hi) + _dot(r_hi, c_lo) + _dot(r_lo, c_hi)
+        else:
+            out_ref[:] += _dot(a_row_ref[:], a_col_ref[:])
+
+    return _syrk_kernel
 
 
 def _pad_to(x, m, axis):
@@ -52,24 +73,41 @@ def _pad_to(x, m, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_k", "interpret", "precision")
+)
 def syrk(
     a: jnp.ndarray,
-    block_m: int = 256,
-    block_k: int = 512,
+    block_m: int = 512,
+    block_k: int = 256,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """``a @ a.T`` with float32 accumulation, upper-triangle blocks only.
 
     Args:
         a: ``[M, K]`` matrix (float32 or bfloat16).
-        block_m: Output tile edge (multiple of 128).
-        block_k: Reduction tile (multiple of 128).
+        block_m: Output tile edge (multiple of 128).  Larger tiles amortize
+            HBM traffic — each A row-panel is streamed ~``M/block_m`` times.
+        block_k: Reduction tile (multiple of 128).  Keep
+            ``2·2·block_m·block_k·4B`` + the full output well under the 16MB
+            VMEM budget — XLA may place the whole output in VMEM when small.
         interpret: Run in the Pallas interpreter (for CPU tests).
+        precision: ``"highest"`` keeps full f32 MXU passes (parity grade);
+            ``"bf16"`` casts the input once and runs bf16 MXU passes with f32
+            accumulation (~6× fewer MXU passes, half the HBM traffic).
 
     Returns:
         ``[M, M]`` float32 symmetric Gram matrix.
     """
+    if precision == "bf16":
+        a = a.astype(jnp.bfloat16)
+        kernel_precision = jax.lax.Precision.DEFAULT
+    elif precision == "high":
+        # manual bf16_3x: ~1e-5 relative accuracy at half the f32 cost
+        kernel_precision = "high"
+    else:
+        kernel_precision = jax.lax.Precision.HIGHEST
     m_orig = a.shape[0]
     a = _pad_to(_pad_to(a, block_m, 0), block_k, 1)
     m, k = a.shape
@@ -102,7 +140,7 @@ def syrk(
 
     flops = 2 * m * m * k // 2 + 2 * m * k  # triangle + diagonal overlap
     out = pl.pallas_call(
-        _syrk_kernel,
+        _make_syrk_kernel(kernel_precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, m), jnp.float32),
         cost_estimate=pl.CostEstimate(

@@ -44,6 +44,7 @@ def eigvalsh(
     batch_size: Optional[int] = None,
     use_syrk: bool = False,
     precision: str = "highest",
+    gram_precision: Optional[str] = None,
 ):
     """Functional core: tuple of ascending eigenvalue arrays, one per group.
 
@@ -52,18 +53,22 @@ def eigvalsh(
 
     ``precision`` sets the matmul precision for the whole pipeline
     (model forward/backward included): ``"highest"`` for reference-grade f32
-    parity (default), ``"default"`` for bf16-MXU speed.
+    parity (default), ``"default"`` for bf16-MXU speed.  ``gram_precision``
+    overrides the precision of the Gram contraction alone — the FLOP-dominant
+    step: e.g. V at ``"highest"`` with the Gram at ``"high"`` (bf16_3x,
+    ~1e-5 relative) halves the Gram cost at negligible parity loss.
     """
     with jax.default_matmul_precision(precision):
         return _eigvalsh_impl(
             model_fn, loss, params, X, y, group_paths=group_paths,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
             batch_size=batch_size, use_syrk=use_syrk,
+            gram_precision=gram_precision,
         )
 
 
 def _eigvalsh_impl(model_fn, loss, params, X, y, *, group_paths, subsampling,
-                   mc_samples, key, batch_size, use_syrk):
+                   mc_samples, key, batch_size, use_syrk, gram_precision=None):
     vt = ggn_sqrt_vt(
         model_fn,
         loss,
@@ -75,8 +80,12 @@ def _eigvalsh_impl(model_fn, loss, params, X, y, *, group_paths, subsampling,
         key=key,
         batch_size=batch_size,
     )
+    gp = {"highest": jax.lax.Precision.HIGHEST, "high": jax.lax.Precision.HIGH,
+          "bf16": jax.lax.Precision.DEFAULT, None: None}[gram_precision]
     return tuple(
-        jnp.linalg.eigvalsh(gram_matrix(vt, paths=paths, use_syrk=use_syrk))
+        jnp.linalg.eigvalsh(
+            gram_matrix(vt, paths=paths, use_syrk=use_syrk, precision=gp)
+        )
         for paths in group_paths
     )
 

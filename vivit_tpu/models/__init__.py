@@ -101,6 +101,31 @@ class BranchedNet(nn.Module):
         return nn.Dense(self.num_classes)(x)
 
 
+class KitchenSinkNet(nn.Module):
+    """Layer-zoo coverage: extra-dim Dense, dropout(eval), avg-pool, padding.
+
+    Mirrors the reference's wide module table
+    (extensions/secondorder/vivit/__init__.py:84-118: Dropout, AvgPool,
+    padding layers, Linear with additional input dims — test/settings.py:67-113).
+    """
+
+    num_classes: int = 3
+
+    @nn.compact
+    def __call__(self, x):  # x: [N, H, W, C]
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # padding layer
+        x = nn.Conv(3, (3, 3), padding="VALID")(x)
+        x = nn.relu(x)
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = nn.Dropout(rate=0.3, deterministic=True)(x)  # eval mode
+        # Dense applied to an input with extra leading dims (reference
+        # linear.py:26-39 "additional dims" case)
+        x = nn.Dense(4)(x)  # [N, h, w, 4]
+        x = nn.tanh(x)
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(self.num_classes)(x)
+
+
 class ConvTransposeNet(nn.Module):
     """ConvTranspose coverage (reference convtransposend.py:9-30)."""
 

@@ -49,7 +49,7 @@ def _flatten_vt(vt) -> jnp.ndarray:
 
 
 def sharded_gram(v_local: jnp.ndarray, axis_name: str = DEFAULT_AXIS,
-                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                 precision=None) -> jnp.ndarray:
     """Global Gram of device-sharded ``V`` columns (inside ``shard_map``).
 
     Args:
@@ -93,22 +93,19 @@ def eigvalsh_dp(
     """
 
     def per_shard(params, X_l, y_l, key):
-        n_local = X_l.shape[0]
-        k = jax.lax.axis_size(axis_name)
-        n_global = n_local * k
-        ids = jax.lax.axis_index(axis_name) * n_local + jnp.arange(n_local)
-        vt = ggn_sqrt_vt_p(
-            model_fn, loss, params, X_l, y_l,
-            mc_samples=mc_samples, key=key,
-            column_scale=jnp.sqrt(jnp.asarray(loss.rho(n_global))),
-            sample_ids=ids,
-        )
-        gram = sharded_gram(_flatten_vt(vt), axis_name)
-        return jnp.linalg.eigvalsh(gram)
-
-    def ggn_sqrt_vt_p(*a, **kw):
         with jax.default_matmul_precision(precision):
-            return ggn_sqrt_vt(*a, **kw)
+            n_local = X_l.shape[0]
+            k = jax.lax.axis_size(axis_name)
+            n_global = n_local * k
+            ids = jax.lax.axis_index(axis_name) * n_local + jnp.arange(n_local)
+            vt = ggn_sqrt_vt(
+                model_fn, loss, params, X_l, y_l,
+                mc_samples=mc_samples, key=key,
+                column_scale=jnp.sqrt(jnp.asarray(loss.rho(n_global))),
+                sample_ids=ids,
+            )
+            gram = sharded_gram(_flatten_vt(vt), axis_name)
+            return jnp.linalg.eigvalsh(gram)
 
     shard_fn = jax.shard_map(
         per_shard,
@@ -142,13 +139,17 @@ def newton_step_dp(
         raise ValueError("Newton step requires reduction='mean'.")
 
     def per_shard(params, X_l, y_l, key):
+        with jax.default_matmul_precision(precision):
+            return per_shard_body(params, X_l, y_l, key)
+
+    def per_shard_body(params, X_l, y_l, key):
         n_local = X_l.shape[0]
         k = jax.lax.axis_size(axis_name)
         n_global = n_local * k
         dev = jax.lax.axis_index(axis_name)
         ids = dev * n_local + jnp.arange(n_local)
 
-        vt = ggn_sqrt_vt_p(
+        vt = ggn_sqrt_vt(
             model_fn, loss, params, X_l, y_l,
             mc_samples=mc_samples, key=key,
             column_scale=jnp.sqrt(jnp.asarray(loss.rho(n_global))),
@@ -170,8 +171,8 @@ def newton_step_dp(
         e_par = e_par / jnp.sqrt(evals_sel)[None, :]
 
         # γ: local per-sample gradients (unscaled) against replicated e_k
-        grads = batch_grad_p(model_fn, loss, params, X_l, y_l,
-                             batch_size=n_global)
+        grads = batch_grad(model_fn, loss, params, X_l, y_l,
+                           batch_size=n_global)
         g_local = _flatten_vt(
             jax.tree_util.tree_map(lambda g: g[None], grads)
         )  # [n_local, D] via the [1, n_local, ...] flattening
@@ -191,14 +192,6 @@ def newton_step_dp(
         coeff = -gamma_mean / (lambda_mean + damping)  # [K]
         step_flat = e_par @ coeff  # [D], replicated
         return evals_sel, step_flat
-
-    def ggn_sqrt_vt_p(*a, **kw):
-        with jax.default_matmul_precision(precision):
-            return ggn_sqrt_vt(*a, **kw)
-
-    def batch_grad_p(*a, **kw):
-        with jax.default_matmul_precision(precision):
-            return batch_grad(*a, **kw)
 
     shard_fn = jax.shard_map(
         per_shard,
