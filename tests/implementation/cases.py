@@ -20,6 +20,7 @@ from vivit_tpu.models import (
     ConvTransposeNet,
     KitchenSinkNet,
     SmallCNN,
+    TinyTransformer,
     init_model,
 )
 from vivit_tpu.utils.tree import leaf_paths
@@ -102,6 +103,14 @@ def make_problems() -> List[Problem]:
     X, y = _data(rng, 5, (3, 3, 1), 3, False)
     problems.append(
         Problem("convtranspose_mse_mean", ct_fn, ct_params, X, y, vt.MSELoss("mean"))
+    )
+
+    tr_fn, tr_params = init_model(TinyTransformer(d_model=6, num_classes=3),
+                                  (4, 5), seed=6)
+    X, y = _data(rng, 5, (4, 5), 3, True)
+    problems.append(
+        Problem("transformer_ce_mean", tr_fn, tr_params, X, y,
+                vt.CrossEntropyLoss("mean"))
     )
 
     ks_fn, ks_params = init_model(KitchenSinkNet(num_classes=3), (6, 6, 2), seed=5)

@@ -1,0 +1,108 @@
+"""Loss objects: sqrt-Hessian factorizations and the generic fallback.
+
+Verifies `H = Σ_c s_c s_cᵀ` against `jax.hessian` for the analytic losses,
+the generic eigendecomposition fallback (``CustomLoss``), the MC sampler's
+expectation, and the Hessian-vector products.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+
+C = 5
+rng = np.random.default_rng(9)
+F = jnp.asarray(rng.normal(size=(4, C)), jnp.float32)
+Y_INT = jnp.asarray(rng.integers(0, C, size=(4,)), jnp.int32)
+Y_REG = jnp.asarray(rng.normal(size=(4, C)), jnp.float32)
+
+LOSSES = [
+    (vt.CrossEntropyLoss("mean"), Y_INT),
+    (vt.CrossEntropyLoss("sum"), Y_INT),
+    (vt.MSELoss("mean"), Y_REG),
+    (vt.MSELoss("sum"), Y_REG),
+]
+
+
+def _true_hessian(loss, f_n, y_n):
+    return np.asarray(
+        jax.hessian(lambda f: loss.per_sample(f[None], y_n[None])[0])(f_n)
+    )
+
+
+@pytest.mark.parametrize("loss,y", LOSSES,
+                         ids=lambda o: getattr(o, "reduction", ""))
+def test_sqrt_hessian_factorization(loss, y):
+    for n in range(F.shape[0]):
+        S = np.asarray(loss.sqrt_hessian(F[n], y[n]))
+        H = _true_hessian(loss, F[n], y[n])
+        assert np.allclose(S.T @ S, H, rtol=1e-5, atol=1e-6), (loss, n)
+
+
+def test_custom_loss_generic_factorization_matches_analytic():
+    """CustomLoss wrapping the CE per-sample fn reproduces analytic results."""
+    ce = vt.CrossEntropyLoss("mean")
+
+    def per_sample_fn(f_n, y_n):
+        logp = jax.nn.log_softmax(f_n)
+        return -logp[y_n]
+
+    custom = vt.CustomLoss(per_sample_fn, reduction="mean")
+    for n in range(F.shape[0]):
+        S = np.asarray(custom.sqrt_hessian(F[n], Y_INT[n]))
+        H = _true_hessian(ce, F[n], Y_INT[n])
+        assert np.allclose(S.T @ S, H, rtol=1e-4, atol=1e-5)
+
+
+def test_custom_loss_end_to_end_matches_cross_entropy():
+    """A whole eigvalsh run through the generic path matches the analytic one."""
+
+    def per_sample_fn(f_n, y_n):
+        return -jax.nn.log_softmax(f_n)[y_n]
+
+    custom = vt.CustomLoss(per_sample_fn, reduction="mean")
+    ce = vt.CrossEntropyLoss("mean")
+
+    params = {"w": jnp.asarray(rng.normal(size=(6, C)) / 3, jnp.float32)}
+
+    def model_fn(p, x):
+        return jnp.tanh(x @ p["w"])
+
+    X = jnp.asarray(rng.normal(size=(7, 6)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(7,)), jnp.int32)
+    (ev_custom,) = vt.EigvalshComputation(model_fn, custom).compute(params, X, y)
+    (ev_ce,) = vt.EigvalshComputation(model_fn, ce).compute(params, X, y)
+    assert np.allclose(np.asarray(ev_custom), np.asarray(ev_ce),
+                       rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("loss,y", LOSSES,
+                         ids=lambda o: getattr(o, "reduction", ""))
+def test_mc_sampler_expectation(loss, y):
+    """E[Σ_m s̃_m s̃_mᵀ] → H (many samples, loose tolerance)."""
+    n, M = 0, 30000
+    S = np.asarray(loss.sqrt_hessian_mc(F[n], y[n], jax.random.PRNGKey(0), M))
+    H_mc = S.T @ S
+    H = _true_hessian(loss, F[n], y[n])
+    assert np.allclose(H_mc, H, rtol=2e-1, atol=2e-2)
+
+
+@pytest.mark.parametrize("loss,y", LOSSES,
+                         ids=lambda o: getattr(o, "reduction", ""))
+def test_hessian_vp(loss, y):
+    t = jnp.asarray(rng.normal(size=F.shape), jnp.float32)
+    got = np.asarray(loss.hessian_vp(F, y, t))
+
+    def total(f):
+        return loss(f, y)
+
+    H_full = np.asarray(jax.hessian(total)(F)).reshape(F.size, F.size)
+    want = (H_full @ np.asarray(t).ravel()).reshape(F.shape)
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_invalid_reduction_rejected():
+    with pytest.raises(ValueError, match="reduction"):
+        vt.MSELoss("none")

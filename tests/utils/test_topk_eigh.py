@@ -1,0 +1,50 @@
+"""topk_eigh solver equivalence: full eigh slice vs LOBPCG iteration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+from vivit_tpu.eig import topk_eigh
+
+
+def _psd(n=200, d=800, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, d)).astype(np.float32) / np.sqrt(d)
+    return jnp.asarray(a @ a.T)
+
+
+def test_lobpcg_matches_eigh():
+    G = _psd()
+    k = 8
+    ev_e, U_e = topk_eigh(G, k, solver="eigh")
+    ev_l, U_l = topk_eigh(G, k, solver="lobpcg")
+    assert np.allclose(np.asarray(ev_l), np.asarray(ev_e), rtol=1e-4, atol=1e-6)
+    # same subspace up to sign
+    assert np.allclose(np.abs(np.asarray(U_l.T @ U_e)), np.eye(k),
+                       rtol=1e-2, atol=1e-2)
+
+
+def test_unknown_solver_rejected():
+    with pytest.raises(ValueError, match="solver"):
+        topk_eigh(_psd(), 4, solver="magic")
+
+
+def test_newton_step_lobpcg_matches_eigh_solver():
+    rng = np.random.default_rng(1)
+    params = {"w1": jnp.asarray(rng.normal(size=(5, 8)) / 2, jnp.float32),
+              "w2": jnp.asarray(rng.normal(size=(8, 3)) / 2, jnp.float32)}
+
+    def model_fn(p, x):
+        return jnp.tanh(x @ p["w1"]) @ p["w2"]
+
+    X = jnp.asarray(rng.normal(size=(12, 5)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 3, size=(12,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+    k = 4
+    step_e = vt.newton_step_topk(model_fn, loss, params, X, y, k, damping=1.0)
+    step_l = vt.newton_step_topk(model_fn, loss, params, X, y, k, damping=1.0,
+                                 solver="lobpcg")
+    for a, b in zip(step_e, step_l):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)

@@ -14,6 +14,38 @@ import jax
 import jax.numpy as jnp
 
 
+def topk_eigh(
+    gram: jnp.ndarray,
+    k: int,
+    solver: str = "eigh",
+    lobpcg_iters: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-``k`` eigenpairs of a PSD Gram matrix (ascending order).
+
+    ``solver="eigh"`` slices the full decomposition; ``solver="lobpcg"`` uses
+    :func:`jax.experimental.sparse.linalg.lobpcg_standard` — for
+    ``k ≪ dim`` this replaces the O(dim³) eigensolver (the second-largest
+    cost of the benchmark pipeline, docs/design.md) with ~20 skinny matmul
+    iterations.  Both paths are jittable with static ``k``.
+
+    Returns:
+        ``(evals [k] ascending, evecs [dim, k])`` column-stacked.
+    """
+    if solver == "eigh":
+        evals, evecs = jnp.linalg.eigh(gram)
+        return evals[-k:], evecs[:, -k:]
+    if solver == "lobpcg":
+        from jax.experimental.sparse.linalg import lobpcg_standard
+
+        x0 = jax.random.normal(
+            jax.random.PRNGKey(k), (gram.shape[0], k), gram.dtype
+        )
+        theta, u, _ = lobpcg_standard(gram, x0, m=lobpcg_iters)
+        order = jnp.argsort(theta)  # lobpcg returns unsorted top-k
+        return theta[order], u[:, order]
+    raise ValueError(f"Unknown solver {solver!r} (use 'eigh' or 'lobpcg').")
+
+
 def shift_diag(mat: jnp.ndarray, shift: float) -> jnp.ndarray:
     """Return ``mat`` with ``shift`` added to its diagonal.
 

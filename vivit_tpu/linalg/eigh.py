@@ -31,25 +31,32 @@ from vivit_tpu.utils.checks import check_subsampling_unique
 
 def _gram_eigh_all(model_fn, loss, params, X, y, *, group_paths, subsampling,
                    mc_samples, key, batch_size=None, use_syrk=False,
-                   precision="highest"):
+                   precision="highest", gram_precision=None):
     """Stage 1: ``Vᵀ`` plus per-group (evals, evecs) of the Gram matrix."""
     with jax.default_matmul_precision(precision):
         return _gram_eigh_all_impl(
             model_fn, loss, params, X, y, group_paths=group_paths,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
             batch_size=batch_size, use_syrk=use_syrk,
+            gram_precision=gram_precision,
         )
 
 
 def _gram_eigh_all_impl(model_fn, loss, params, X, y, *, group_paths,
-                        subsampling, mc_samples, key, batch_size, use_syrk):
+                        subsampling, mc_samples, key, batch_size, use_syrk,
+                        gram_precision=None):
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+
     vt = ggn_sqrt_vt(
         model_fn, loss, params, X, y,
         subsampling=subsampling, mc_samples=mc_samples, key=key,
         batch_size=batch_size,
     )
     eigs = tuple(
-        jnp.linalg.eigh(gram_matrix(vt, paths=paths, use_syrk=use_syrk))
+        jnp.linalg.eigh(
+            gram_matrix(vt, paths=paths, use_syrk=use_syrk,
+                        precision=_PRECISIONS[gram_precision])
+        )
         for paths in group_paths
     )
     return vt, eigs
@@ -86,6 +93,9 @@ def eigh_topk(
     batch_size: Optional[int] = None,
     use_syrk: bool = False,
     precision: str = "highest",
+    gram_precision: Optional[str] = None,
+    solver: str = "eigh",
+    lobpcg_iters: int = 100,
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Fully-jittable top-``k`` GGN eigenpairs (single group).
 
@@ -97,6 +107,9 @@ def eigh_topk(
     """
     from vivit_tpu.utils.tree import leaf_paths
 
+    from vivit_tpu.eig import topk_eigh
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+
     if paths is None:
         paths = leaf_paths(params)
     with jax.default_matmul_precision(precision):
@@ -105,10 +118,13 @@ def eigh_topk(
             subsampling=subsampling, mc_samples=mc_samples, key=key,
             batch_size=batch_size,
         )
-        gram = gram_matrix(vt, paths=paths, use_syrk=use_syrk)
-        evals, evecs = jnp.linalg.eigh(gram)
-        top_evals = evals[-k:]
-        top_evecs = evecs[:, -k:]
+        gram = gram_matrix(
+            vt, paths=paths, use_syrk=use_syrk,
+            precision=_PRECISIONS[gram_precision],
+        )
+        top_evals, top_evecs = topk_eigh(
+            gram, k, solver=solver, lobpcg_iters=lobpcg_iters
+        )
         return top_evals, backproject(vt, top_evecs, top_evals, paths)
 
 
@@ -129,6 +145,7 @@ class EighComputation:
         verbose: bool = False,
         warn_small_eigvals: float = 1e-4,
         precision: str = "highest",
+        gram_precision: Optional[str] = None,
     ):
         check_subsampling_unique(subsampling)
         self._model_fn = model_fn
@@ -138,6 +155,7 @@ class EighComputation:
         self._verbose = verbose
         self._warn_small_eigvals = warn_small_eigvals
         self._precision = precision
+        self._gram_precision = gram_precision
         self._jit_cache: Dict = {}
         self._evals: Dict[int, jnp.ndarray] = {}
         self._evecs: Dict[int, List[jnp.ndarray]] = {}
@@ -152,6 +170,7 @@ class EighComputation:
                 subsampling=self._subsampling,
                 mc_samples=self._mc_samples,
                 precision=self._precision,
+                gram_precision=self._gram_precision,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

@@ -29,6 +29,14 @@ from vivit_tpu.linalg.utils import group_key, resolve_param_groups
 from vivit_tpu.losses import Loss
 from vivit_tpu.utils.checks import check_subsampling_unique
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "bf16": jax.lax.Precision.DEFAULT,
+    "default": jax.lax.Precision.DEFAULT,
+    None: None,
+}
+
 
 def eigvalsh(
     model_fn,
@@ -80,8 +88,7 @@ def _eigvalsh_impl(model_fn, loss, params, X, y, *, group_paths, subsampling,
         key=key,
         batch_size=batch_size,
     )
-    gp = {"highest": jax.lax.Precision.HIGHEST, "high": jax.lax.Precision.HIGH,
-          "bf16": jax.lax.Precision.DEFAULT, None: None}[gram_precision]
+    gp = _PRECISIONS[gram_precision]
     return tuple(
         jnp.linalg.eigvalsh(
             gram_matrix(vt, paths=paths, use_syrk=use_syrk, precision=gp)
@@ -107,6 +114,7 @@ class EigvalshComputation:
         mc_samples: int = 0,
         verbose: bool = False,
         precision: str = "highest",
+        gram_precision: Optional[str] = None,
     ):
         check_subsampling_unique(subsampling)
         self._model_fn = model_fn
@@ -115,6 +123,7 @@ class EigvalshComputation:
         self._mc_samples = mc_samples
         self._verbose = verbose
         self._precision = precision
+        self._gram_precision = gram_precision
         self._jit_cache: Dict = {}
         self._evals: Dict[int, jnp.ndarray] = {}
 
@@ -129,6 +138,7 @@ class EigvalshComputation:
                 subsampling=self._subsampling,
                 mc_samples=self._mc_samples,
                 precision=self._precision,
+                gram_precision=self._gram_precision,
             )
             self._jit_cache[cache_key] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

@@ -139,6 +139,33 @@ class ConvTransposeNet(nn.Module):
         return nn.Dense(self.num_classes)(x)
 
 
+class TinyTransformer(nn.Module):
+    """Minimal transformer classifier (attention coverage).
+
+    The reference supports no attention layers (SURVEY §5: "no attention
+    anywhere"); under the V-transform any jax-differentiable architecture
+    works, so curvature access extends to transformers for free.  Single
+    head, one block, mean-pooled classifier — sized for the test oracle.
+    """
+
+    d_model: int = 8
+    num_classes: int = 3
+
+    @nn.compact
+    def __call__(self, x):  # x: [N, T, F]
+        h = nn.Dense(self.d_model)(x)
+        q = nn.Dense(self.d_model, use_bias=False)(h)
+        k = nn.Dense(self.d_model, use_bias=False)(h)
+        v = nn.Dense(self.d_model, use_bias=False)(h)
+        att = jax.nn.softmax(
+            jnp.einsum("ntd,nsd->nts", q, k) / jnp.sqrt(self.d_model), axis=-1
+        )
+        h = h + jnp.einsum("nts,nsd->ntd", att, v)
+        h = h + nn.Dense(self.d_model)(nn.tanh(nn.Dense(self.d_model)(h)))
+        h = jnp.mean(h, axis=1)  # mean pool over tokens
+        return nn.Dense(self.num_classes)(h)
+
+
 class CNN3c3d(nn.Module):
     """CIFAR-10 3c3d (DeepOBS): 3 conv + 3 dense — the benchmark flagship.
 

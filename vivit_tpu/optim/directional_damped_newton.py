@@ -78,12 +78,18 @@ def newton_step_topk(
     batch_size: Optional[int] = None,
     use_syrk: bool = False,
     precision: str = "highest",
+    gram_precision: Optional[str] = None,
+    solver: str = "eigh",
 ) -> List[jnp.ndarray]:
     """Fully-jittable damped Newton step along the top-``k`` directions.
 
     Constant damping keeps the whole train-step fusable into one XLA program —
     the production path for second-order optimization on TPU.
+    ``solver="lobpcg"`` replaces the full Gram eigendecomposition by a
+    top-``k`` iteration (docs/design.md: the eigensolver is the second-largest
+    cost of the pipeline).
     """
+    from vivit_tpu.eig import topk_eigh
     from vivit_tpu.utils.tree import leaf_paths
 
     if paths is None:
@@ -100,9 +106,11 @@ def newton_step_topk(
         batch_size=batch_size,
         use_syrk=use_syrk,
         precision=precision,
+        gram_precision=gram_precision,
+        compute_eigh=False,
     )
-    gram, evals, evecs, v_t_g = per_group[0]
-    evals_sel, evecs_sel = evals[-k:], evecs[:, -k:]
+    gram, _, _, v_t_g = per_group[0]
+    evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver)
     gammas, lambdas = gammas_lambdas(gram, evals_sel, evecs_sel, v_t_g, s_ggn)
     dampings = damping * jnp.ones_like(evals_sel)
     return newton_step_from_derivatives(
@@ -128,6 +136,7 @@ class DirectionalDampedNewtonComputation:
         verbose: bool = False,
         warn_small_eigvals: float = 1e-4,
         precision: str = "highest",
+        gram_precision: Optional[str] = None,
     ):
         check_subsampling_unique(subsampling_grad)
         check_subsampling_unique(subsampling_ggn)
@@ -143,6 +152,7 @@ class DirectionalDampedNewtonComputation:
         self._verbose = verbose
         self._warn_small_eigvals = warn_small_eigvals
         self._precision = precision
+        self._gram_precision = gram_precision
         self._jit_cache: Dict = {}
         self._newton_steps: Dict[int, List[jnp.ndarray]] = {}
 
@@ -157,6 +167,7 @@ class DirectionalDampedNewtonComputation:
                 subsampling_ggn=self._subsampling_ggn,
                 mc_samples_ggn=self._mc_samples_ggn,
                 precision=self._precision,
+                gram_precision=self._gram_precision,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

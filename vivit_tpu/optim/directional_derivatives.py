@@ -36,8 +36,11 @@ def directional_derivatives_topk(
     key: Optional[jax.Array] = None,
     batch_size: Optional[int] = None,
     precision: str = "highest",
+    gram_precision: Optional[str] = None,
+    solver: str = "eigh",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fully-jittable ``(evals, γ, λ)`` along the top-``k`` GGN directions."""
+    from vivit_tpu.eig import topk_eigh
     from vivit_tpu.utils.tree import leaf_paths
 
     if paths is None:
@@ -53,12 +56,13 @@ def directional_derivatives_topk(
         key=key,
         batch_size=batch_size,
         precision=precision,
+        gram_precision=gram_precision,
+        compute_eigh=False,
     )
-    gram, evals, evecs, v_t_g = per_group[0]
-    gammas, lambdas = gammas_lambdas(
-        gram, evals[-k:], evecs[:, -k:], v_t_g, s_ggn
-    )
-    return evals[-k:], gammas, lambdas
+    gram, _, _, v_t_g = per_group[0]
+    evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver)
+    gammas, lambdas = gammas_lambdas(gram, evals_sel, evecs_sel, v_t_g, s_ggn)
+    return evals_sel, gammas, lambdas
 
 
 class DirectionalDerivativesComputation:
@@ -78,6 +82,7 @@ class DirectionalDerivativesComputation:
         verbose: bool = False,
         warn_small_eigvals: float = 1e-4,
         precision: str = "highest",
+        gram_precision: Optional[str] = None,
     ):
         check_subsampling_unique(subsampling_grad)
         check_subsampling_unique(subsampling_ggn)
@@ -93,6 +98,7 @@ class DirectionalDerivativesComputation:
         self._verbose = verbose
         self._warn_small_eigvals = warn_small_eigvals
         self._precision = precision
+        self._gram_precision = gram_precision
         self._jit_cache: Dict = {}
         self._gammas: Dict[int, jnp.ndarray] = {}
         self._lambdas: Dict[int, jnp.ndarray] = {}
@@ -108,6 +114,7 @@ class DirectionalDerivativesComputation:
                 subsampling_ggn=self._subsampling_ggn,
                 mc_samples_ggn=self._mc_samples_ggn,
                 precision=self._precision,
+                gram_precision=self._gram_precision,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

@@ -44,6 +44,8 @@ def derivatives_stage1(
     batch_size: Optional[int] = None,
     use_syrk: bool = False,
     precision: str = "highest",
+    gram_precision=None,
+    compute_eigh: bool = True,
 ):
     """Jittable stage 1: ``Vᵀ``, per-group Gram eigendecomposition, ``Vᵀ G``.
 
@@ -55,13 +57,15 @@ def derivatives_stage1(
             model_fn, loss, params, X, y, group_paths=group_paths,
             subsampling_grad=subsampling_grad, subsampling_ggn=subsampling_ggn,
             mc_samples_ggn=mc_samples_ggn, key=key, batch_size=batch_size,
-            use_syrk=use_syrk,
+            use_syrk=use_syrk, gram_precision=gram_precision,
+            compute_eigh=compute_eigh,
         )
 
 
 def _derivatives_stage1_impl(
     model_fn, loss, params, X, y, *, group_paths, subsampling_grad,
     subsampling_ggn, mc_samples_ggn, key, batch_size, use_syrk,
+    gram_precision=None, compute_eigh=True,
 ):
     if loss.reduction != "mean":
         raise ValueError(
@@ -80,10 +84,16 @@ def _derivatives_stage1_impl(
     # undo the 1/N BatchGrad convention → unscaled per-sample gradients ∇ℓ_n
     grads = jax.tree_util.tree_map(lambda g: g * N, grads)
 
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+
     per_group = []
     for paths in group_paths:
-        gram = gram_matrix(vt, paths=paths, use_syrk=use_syrk)
-        evals, evecs = jnp.linalg.eigh(gram)
+        gram = gram_matrix(vt, paths=paths, use_syrk=use_syrk,
+                           precision=_PRECISIONS[gram_precision])
+        if compute_eigh:
+            evals, evecs = jnp.linalg.eigh(gram)
+        else:
+            evals, evecs = None, None
         grad_leaves = [leaf for _, leaf in select_paths(grads, paths)]
         v_t_g = vt_mat_prod(vt, grad_leaves, paths=paths)
         per_group.append((gram, evals, evecs, v_t_g))
