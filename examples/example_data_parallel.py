@@ -1,0 +1,57 @@
+"""Data-parallel curvature over a device mesh (new capability vs the reference).
+
+The mini-batch shards over the ``data`` mesh axis; per-chip Gram-block
+contributions are combined over ICI (all_to_all + psum) so the ``NC×NC``
+eigenproblem covers the global batch.  Works on any device count — including
+a single chip (degenerate mesh) and the 8-device virtual CPU mesh used in
+tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import vivit_tpu as vt
+from vivit_tpu.models import MLP, init_model
+from vivit_tpu.parallel import eigvalsh_dp, newton_step_dp, train_step_dp
+
+devices = np.array(jax.devices())
+mesh = Mesh(devices, ("data",))
+n_dev = len(devices)
+print(f"mesh: {n_dev} × {devices[0].platform}")
+
+N_PER_CHIP, D_IN, C = 4, 6, 3
+n_global = N_PER_CHIP * n_dev
+
+model_fn, params = init_model(MLP(features=(16, C)), (D_IN,), seed=0)
+loss = vt.CrossEntropyLoss("mean")
+
+rng = np.random.default_rng(0)
+X = jnp.asarray(rng.normal(size=(n_global, D_IN)), jnp.float32)
+y = jnp.asarray(rng.integers(0, C, size=(n_global,)), jnp.int32)
+sharding = NamedSharding(mesh, P("data"))
+X, y = jax.device_put(X, sharding), jax.device_put(y, sharding)
+
+# global-batch GGN spectrum, Gram blocks allreduced over ICI
+fn = eigvalsh_dp(model_fn, loss, mesh)
+evals = fn(params, X, y, None)
+print(f"global GGN top-3 eigenvalues: {np.asarray(evals)[-3:]}")
+
+# matches the single-chip computation on the gathered batch
+(evals_sc,) = vt.EigvalshComputation(model_fn, loss).compute(
+    params, jax.device_get(X), jax.device_get(y)
+)
+assert np.allclose(np.sort(np.asarray(evals)), np.sort(np.asarray(evals_sc)),
+                   rtol=1e-4, atol=5e-6)
+print("matches the single-chip spectrum. ✓")
+
+# a few distributed second-order training steps
+step = train_step_dp(model_fn, loss, mesh, k_top=4, damping=1.0, lr=1.0)
+losses = [float(loss(model_fn(params, X), y))]
+for _ in range(3):
+    params, evals = step(params, X, y, None)
+    losses.append(float(loss(model_fn(params, X), y)))
+print("DP Newton loss trajectory:", [f"{l:.4f}" for l in losses])
+assert losses[-1] < losses[0]
+print("Distributed damped Newton reduces the loss. ✓")

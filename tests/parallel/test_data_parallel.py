@@ -81,6 +81,34 @@ def test_newton_step_dp_matches_single_chip():
     assert np.allclose(flat_dp, flat_sc, rtol=1e-4, atol=1e-6)
 
 
+def test_eigh_dp_matches_single_chip():
+    from vivit_tpu.parallel import eigh_dp
+
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    k = 3
+    fn = eigh_dp(model_fn, loss, mesh, k_top=k)
+    evals_dp, evecs_dp = fn(params, X, y, None)
+
+    evals_sc, evecs_sc = jax.jit(
+        lambda p, X, y: vt.eigh_topk(model_fn, loss, p, X, y, k)
+    )(params, X, y)
+    assert np.allclose(np.asarray(evals_dp), np.asarray(evals_sc),
+                       rtol=1e-4, atol=1e-6)
+    # evecs match up to sign (compare leaf-wise, sign per direction)
+    from vivit_tpu.utils.tree import flatten_with_paths
+
+    dp_flat = np.concatenate(
+        [np.asarray(l).reshape(k, -1) for _, l in flatten_with_paths(evecs_dp)],
+        axis=1,
+    )
+    sc_flat = np.concatenate([np.asarray(l).reshape(k, -1) for l in evecs_sc],
+                             axis=1)
+    assert np.allclose(np.abs(np.sum(dp_flat * sc_flat, axis=1)), 1.0,
+                       atol=1e-3)
+
+
 def test_eigvalsh_dp_sharded_inputs():
     """Explicitly sharded global arrays work and keep the batch distributed."""
     mesh = _mesh()

@@ -195,6 +195,9 @@ class EighComputation:
             params, param_groups, required_keys=("params", "criterion")
         )
         group_paths = tuple(tuple(g["params"]) for g in param_groups)
+        if self._verbose:
+            # reference prints the group→param id map (e.g. eigh.py:159-162)
+            print(f"EighComputation: groups {group_paths}")
         vt, eigs = self._get_fn(group_paths)(params, X, y, key)
 
         results = []

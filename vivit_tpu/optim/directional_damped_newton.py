@@ -187,6 +187,9 @@ class DirectionalDampedNewtonComputation:
             params, param_groups, required_keys=("params", "criterion", "damping")
         )
         group_paths = tuple(tuple(g["params"]) for g in param_groups)
+        if self._verbose:
+            # reference prints the group→param id map (e.g. eigh.py:159-162)
+            print(f"DirectionalDampedNewtonComputation: groups {group_paths}")
         s_ggn = (
             len(self._subsampling_ggn)
             if self._subsampling_ggn is not None

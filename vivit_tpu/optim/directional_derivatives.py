@@ -134,6 +134,9 @@ class DirectionalDerivativesComputation:
             params, param_groups, required_keys=("params", "criterion")
         )
         group_paths = tuple(tuple(g["params"]) for g in param_groups)
+        if self._verbose:
+            # reference prints the group→param id map (e.g. eigh.py:159-162)
+            print(f"DirectionalDerivativesComputation: groups {group_paths}")
         s_ggn = (
             len(self._subsampling_ggn)
             if self._subsampling_ggn is not None

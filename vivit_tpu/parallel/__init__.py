@@ -117,6 +117,77 @@ def eigvalsh_dp(
     return jax.jit(shard_fn)
 
 
+def eigh_dp(
+    model_fn,
+    loss: Loss,
+    mesh: Mesh,
+    k_top: int,
+    *,
+    mc_samples: int = 0,
+    axis_name: str = DEFAULT_AXIS,
+    precision: str = "highest",
+    solver: str = "eigh",
+) -> Callable:
+    """Build a jitted data-parallel top-``k`` GGN eigenpair function.
+
+    ``fn(params, X, y, key) -> (evals [k], evecs pytree)`` with ``evecs``
+    leaves ``[k, *param.shape]`` (replicated), matching the single-chip
+    :func:`vivit_tpu.linalg.eigh_topk` result format.  Back-projection
+    ``e = V ẽ`` is assembled by ``psum`` of per-shard contributions.
+    """
+    from vivit_tpu.eig import topk_eigh
+
+    def per_shard(params, X_l, y_l, key):
+        with jax.default_matmul_precision(precision):
+            n_local = X_l.shape[0]
+            k = jax.lax.axis_size(axis_name)
+            n_global = n_local * k
+            dev = jax.lax.axis_index(axis_name)
+            ids = dev * n_local + jnp.arange(n_local)
+
+            vt = ggn_sqrt_vt(
+                model_fn, loss, params, X_l, y_l,
+                mc_samples=mc_samples, key=key,
+                column_scale=jnp.sqrt(jnp.asarray(loss.rho(n_global))),
+                sample_ids=ids,
+            )
+            v_local = _flatten_vt(vt)
+            cols_local = v_local.shape[0]
+            gram = sharded_gram(v_local, axis_name)
+            evals_sel, evecs_sel = topk_eigh(gram, k_top, solver=solver)
+            rows = jax.lax.dynamic_slice_in_dim(
+                evecs_sel, dev * cols_local, cols_local, axis=0
+            )
+            e_par = jax.lax.psum(v_local.T @ rows, axis_name)  # [D, k]
+            # normalize by the exact global norm (‖Vẽ‖ = √λ̃ analytically;
+            # dividing by the realized norm is more robust — reference
+            # vivit/linalg/utils.py:67-76)
+            e_par = e_par / jnp.linalg.norm(e_par, axis=0, keepdims=True)
+            return evals_sel, e_par
+
+    shard_fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def fn(params, X, y, key=None):
+        evals, e_par = shard_fn(params, X, y, key)
+        from vivit_tpu.utils.tree import unravel_like
+
+        leaves = [
+            unravel_like(e_par[:, i], params) for i in range(k_top)
+        ]
+        evecs = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *leaves
+        )
+        return evals, evecs
+
+    return jax.jit(fn)
+
+
 def newton_step_dp(
     model_fn,
     loss: Loss,
