@@ -47,25 +47,27 @@ def measure_vivit_tpu(n, repeats):
     import vivit_tpu as vt
     from vivit_tpu.models import CNN3c3d, init_model
 
-    model_fn, params = init_model(CNN3c3d(NUM_CLASSES), (32, 32, 3), seed=0)
+    from vivit_tpu.structured import eigvalsh_structured
+
+    module = CNN3c3d(NUM_CLASSES)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.ones((1, 32, 32, 3), jnp.float32))
     X_np, y_np = _synthetic_batch(n)
     X, y = jnp.asarray(X_np), jnp.asarray(y_np)
     loss = vt.CrossEntropyLoss("mean")
 
-    from vivit_tpu.utils.tree import leaf_paths
-
-    paths = tuple(leaf_paths(params))
-    # Tuned parity-grade config (see docs/design.md): the V transform runs at
-    # full f32 ("highest" — conv gradients dominate the parity budget), the
-    # Gram contraction at bf16 with f32 accumulation (its per-product error
-    # averages out over the 895k-long dots: top-eigenvalue deviation vs the
-    # all-f32 pipeline is 2.5e-5, well inside the reference's rtol=1e-4 bar).
+    # Tuned parity-grade config (see docs/design.md): Kronecker-factored
+    # Dense Gram blocks (the ViViTGGNLinear fast path — 81% of the params
+    # never materialize V), full-f32 V transform, bf16 Gram for the conv
+    # leaves only.  Top-eigenvalue deviation vs the all-f32 generic
+    # pipeline: 1.1e-5 (reference bar: rtol=1e-4).
     fn = jax.jit(
-        lambda p, X, y: vt.eigvalsh(
-            model_fn, loss, p, X, y, group_paths=(paths,),
+        lambda v, X, y: eigvalsh_structured(
+            module, v, loss, X, y,
             precision="highest", gram_precision="bf16",
         )[0]
     )
+    params = variables
     evals = np.asarray(fn(params, X, y))  # compile + fetch
     # Time with a forced device→host fetch of the (tiny) eigenvalue vector:
     # on the tunneled axon platform block_until_ready() does not block, so
@@ -200,21 +202,23 @@ def main():
         if args.refresh_baseline or cache_key not in cache:
             try:
                 torch_ms, torch_evals, flax_params = measure_torch_cpu(args.batch)
-                # cross-framework parity on IDENTICAL weights
+                # cross-framework parity on IDENTICAL weights, through the
+                # same structured pipeline the headline number uses
+                import jax
                 import jax.numpy as jnp
 
                 import vivit_tpu as vt
                 from vivit_tpu.models import CNN3c3d
+                from vivit_tpu.structured import eigvalsh_structured
 
                 module = CNN3c3d(NUM_CLASSES)
-                model_fn = lambda p, x: module.apply({"params": p}, x)
                 X_np, y_np = _synthetic_batch(args.batch)
-                comp = vt.EigvalshComputation(
-                    model_fn, vt.CrossEntropyLoss("mean")
-                )
-                (ours_evals,) = comp.compute(
-                    flax_params, jnp.asarray(X_np), jnp.asarray(y_np)
-                )
+                (ours_evals,) = jax.jit(
+                    lambda v, X, y: eigvalsh_structured(
+                        module, v, vt.CrossEntropyLoss("mean"), X, y,
+                        precision="highest", gram_precision="bf16",
+                    )
+                )({"params": flax_params}, jnp.asarray(X_np), jnp.asarray(y_np))
                 top = 20
                 parity = float(
                     np.max(

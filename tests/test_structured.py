@@ -1,0 +1,139 @@
+"""Structured Dense fast path vs the generic engine.
+
+The Kronecker factorization must reproduce the generic results exactly
+(same tolerances as the eigenvalue parity tests); Dense layers with extra
+input dims must fall back to the generic path (reference linear.py:38-39).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+from vivit_tpu.models import MLP, TinyTransformer, init_model
+from vivit_tpu.structured import (
+    DenseFactor,
+    eigvalsh_structured,
+    gram_matrix_mixed,
+    structured_ggn_sqrt_vt,
+    v_mat_prod_mixed,
+)
+from vivit_tpu.utils.tree import leaf_paths
+
+import flax.linen as nn
+
+rng = np.random.default_rng(17)
+
+
+def _mlp():
+    module = MLP(features=(8, 4))
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.ones((1, 6), jnp.float32))
+    X = jnp.asarray(rng.normal(size=(7, 6)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, size=(7,)), jnp.int32)
+    return module, variables, X, y
+
+
+def test_dense_kernels_are_factored():
+    module, variables, X, y = _mlp()
+    loss = vt.CrossEntropyLoss("mean")
+    vt_mixed = structured_ggn_sqrt_vt(module, variables, loss, X, y)
+    kernels = [p for p in vt_mixed if p.endswith("kernel")]
+    assert kernels and all(isinstance(vt_mixed[k], DenseFactor) for k in kernels)
+    biases = [p for p in vt_mixed if p.endswith("bias")]
+    assert all(not isinstance(vt_mixed[b], DenseFactor) for b in biases)
+
+
+@pytest.mark.parametrize("subsampling", [None, [2, 0]], ids=lambda s: f"sub={s}")
+def test_structured_eigvalsh_matches_generic(subsampling):
+    module, variables, X, y = _mlp()
+    loss = vt.CrossEntropyLoss("mean")
+    model_fn = lambda p, x: module.apply({"params": p}, x)
+    params = variables["params"]
+    paths = tuple(leaf_paths(params))
+
+    (ev_struct,) = eigvalsh_structured(module, variables, loss, X, y,
+                                       subsampling=subsampling)
+    (ev_generic,) = vt.eigvalsh(model_fn, loss, params, X, y,
+                                group_paths=(paths,), subsampling=subsampling)
+    assert np.allclose(np.asarray(ev_struct), np.asarray(ev_generic),
+                       rtol=1e-4, atol=5e-6)
+
+
+def test_structured_blockdiagonal_and_mse():
+    module, variables, X, y = _mlp()
+    y_reg = jnp.asarray(rng.normal(size=(7, 4)), jnp.float32)
+    loss = vt.MSELoss("sum")
+    model_fn = lambda p, x: module.apply({"params": p}, x)
+    params = variables["params"]
+    paths = leaf_paths(params)
+    kernels = tuple(p for p in paths if p.endswith("kernel"))
+    rest = tuple(p for p in paths if not p.endswith("kernel"))
+
+    evs = eigvalsh_structured(module, variables, loss, X, y_reg,
+                              group_paths=(kernels, rest))
+    evg = vt.eigvalsh(model_fn, loss, params, X, y_reg,
+                      group_paths=(kernels, rest))
+    for a, b in zip(evs, evg):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6)
+
+
+def test_structured_mc_matches_generic():
+    module, variables, X, y = _mlp()
+    loss = vt.CrossEntropyLoss("mean")
+    model_fn = lambda p, x: module.apply({"params": p}, x)
+    params = variables["params"]
+    paths = tuple(leaf_paths(params))
+    key = jax.random.PRNGKey(5)
+    (ev_s,) = eigvalsh_structured(module, variables, loss, X, y,
+                                  mc_samples=3, key=key)
+    (ev_g,) = vt.eigvalsh(model_fn, loss, params, X, y,
+                          group_paths=(paths,), mc_samples=3, key=key)
+    assert np.allclose(np.asarray(ev_s), np.asarray(ev_g),
+                       rtol=1e-4, atol=5e-6)
+
+
+def test_transformer_dense_with_extra_dims_falls_back():
+    """3-D Dense inputs (token axis) must use the generic path — and still
+    produce correct results."""
+    module = TinyTransformer(d_model=6, num_classes=3)
+    variables = module.init(jax.random.PRNGKey(1),
+                            jnp.ones((1, 4, 5), jnp.float32))
+    X = jnp.asarray(rng.normal(size=(5, 4, 5)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 3, size=(5,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+    vt_mixed = structured_ggn_sqrt_vt(module, variables, loss, X, y)
+    # token-axis Dense layers (3-D input) are NOT factored; only the final
+    # classifier head (2-D input after mean-pooling) is
+    factored = [p for p, l in vt_mixed.items() if isinstance(l, DenseFactor)]
+    assert len(factored) == 1 and factored[0].endswith("kernel")
+
+    model_fn = lambda p, x: module.apply({"params": p}, x)
+    params = variables["params"]
+    (ev_s,) = eigvalsh_structured(module, variables, loss, X, y)
+    (ev_g,) = vt.eigvalsh(model_fn, loss, params, X, y,
+                          group_paths=(tuple(leaf_paths(params)),))
+    assert np.allclose(np.asarray(ev_s), np.asarray(ev_g),
+                       rtol=1e-4, atol=5e-6)
+
+
+def test_factored_v_mat_prod_matches_generic():
+    module, variables, X, y = _mlp()
+    loss = vt.CrossEntropyLoss("mean")
+    model_fn = lambda p, x: module.apply({"params": p}, x)
+    params = variables["params"]
+    paths = list(leaf_paths(params))
+
+    vt_mixed = structured_ggn_sqrt_vt(module, variables, loss, X, y)
+    vt_generic = vt.ggn_sqrt_vt(model_fn, loss, params, X, y)
+
+    from vivit_tpu.gram import v_mat_prod
+
+    k = 3
+    cfs = 4 * 7
+    gv = jnp.asarray(rng.normal(size=(k, cfs)), jnp.float32)
+    got = v_mat_prod_mixed(vt_mixed, gv, paths)
+    _, want = v_mat_prod(vt_generic, gv, paths=paths)
+    for a, b in zip(got, want):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

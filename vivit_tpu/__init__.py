@@ -20,7 +20,7 @@ loss-Hessian square roots, matrix-free operators (:mod:`vivit_tpu.hessianfree`),
 and the standalone Gram primitives (:mod:`vivit_tpu.extensions`).
 """
 
-from vivit_tpu import extensions, hessianfree, losses
+from vivit_tpu import extensions, hessianfree, losses, structured
 from vivit_tpu.ggn import (
     batch_grad,
     ggn_mat_prod,
@@ -64,6 +64,7 @@ __all__ = [
     "losses",
     "extensions",
     "hessianfree",
+    "structured",
     "ggn_sqrt_vt",
     "batch_grad",
     "ggn_vector_product",

@@ -1,0 +1,265 @@
+"""Structure-exploiting fast path for Dense layers (Kronecker-factored V).
+
+TPU-native counterpart of the reference's ``ViViTGGNLinear``
+(vivit/extensions/secondorder/vivit/linear.py:19-75): for a Dense kernel
+``W [in, out]`` the V column of sample ``n``, factor ``c`` is the outer
+product ``v_{c,n} = z_n ⊗ δ_{c,n}`` (layer input ⊗ backpropagated factor), so
+its Gram block factors as a Hadamard product
+
+    G̃_W[(c,n),(d,m)] = (z_n · z_m) · (δ_{c,n} · δ_{d,m})
+                      = (Z Zᵀ) ∘ (Δ Δᵀ)        (reference linear.py:66-75)
+
+— ``S²·in + (CF·S)²·out`` FLOPs instead of ``(CF·S)²·in·out``.  On the
+CIFAR-10 3c3d benchmark the dense layers hold 81% of the parameters, so this
+removes ~80% of the Gram FLOPs *and* the multi-GB materialization of the
+dense ``Vᵀ`` blocks.
+
+Two generic facts make this work without BackPACK-style per-layer derivative
+rules:
+
+1. ``δ_{c,n}`` **is the bias cotangent**: for ``pre = z W + b`` the vjp
+   cotangent w.r.t. ``b`` equals the cotangent w.r.t. ``pre`` — the generic
+   engine already computes it as the bias leaf of ``Vᵀ``.
+2. ``z`` is captured from one batched forward via
+   ``flax.linen.intercept_methods`` — no model changes needed.
+
+Like the reference (linear.py:38-39), Dense layers whose input carries extra
+dimensions fall back to the generic path.
+"""
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vivit_tpu.ggn import ggn_sqrt_vt
+from vivit_tpu.losses import Loss
+from vivit_tpu.utils.checks import check_subsampling_unique
+from vivit_tpu.utils.tree import flatten_with_paths
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DenseFactor:
+    """Kronecker-factored ``Vᵀ`` block for a Dense kernel.
+
+    ``z``: layer inputs ``[S, in]`` (shared across factor columns);
+    ``delta``: scaled backpropagated factors ``[CF, S, out]`` (the bias
+    cotangents — they already carry the column scale ``√(ρ·N/S)``).
+    """
+
+    z: jnp.ndarray
+    delta: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.z, self.delta), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_cols(self) -> int:
+        cf, s = self.delta.shape[:2]
+        return cf * s
+
+    def gram(self) -> jnp.ndarray:
+        """``[CF·S, CF·S]`` Gram contribution via the Hadamard factorization."""
+        cf, s, _ = self.delta.shape
+        zz = jnp.dot(self.z, self.z.T,
+                     preferred_element_type=jnp.float32)  # [S, S]
+        df = jnp.reshape(self.delta, (cf * s, -1))
+        dd = jnp.dot(df, df.T, preferred_element_type=jnp.float32)
+        return dd * jnp.tile(zz, (cf, cf))
+
+    def v_mat_prod(self, gram_vecs: jnp.ndarray) -> jnp.ndarray:
+        """``V @ ẽ`` for stacked ``[K, CF·S]`` vectors → ``[K, in, out]``."""
+        cf, s, out = self.delta.shape
+        gv = jnp.reshape(gram_vecs, (gram_vecs.shape[0], cf, s))
+        w = jnp.einsum("kcn,cno->kno", gv, self.delta)
+        return jnp.einsum("kno,ni->kio", w, self.z)
+
+    def vt_mat_prod(self, mat: jnp.ndarray) -> jnp.ndarray:
+        """``Vᵀ @ m`` for stacked ``[K, in, out]`` → ``[CF·S, K]``."""
+        w = jnp.einsum("ni,kio->kno", self.z, mat)
+        r = jnp.einsum("kno,cno->cnk", w, self.delta)
+        return jnp.reshape(r, (self.num_cols, r.shape[-1]))
+
+
+def capture_dense_inputs(module: nn.Module, variables: Any, X: jnp.ndarray):
+    """Run a batched forward capturing each ``nn.Dense`` input.
+
+    Returns ``(outputs, {dense_layer_name: input [S, ..., in]})``.
+    """
+    captured: Dict[str, jnp.ndarray] = {}
+
+    def interceptor(next_fn, args, kwargs, context):
+        if isinstance(context.module, nn.Dense) and context.method_name == "__call__":
+            name = "/".join(str(p) for p in context.module.path)
+            captured[name] = args[0]
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        out = module.apply(variables, X)
+    return out, captured
+
+
+def _split_params(params, factored_kernels):
+    diff = {}
+    const = {}
+    for path, leaf in flatten_with_paths(params):
+        (const if path in factored_kernels else diff)[path] = leaf
+    return diff, const
+
+
+def structured_ggn_sqrt_vt(
+    module: nn.Module,
+    variables: Any,
+    loss: Loss,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    subsampling: Optional[Sequence[int]] = None,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    batch_size: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Mixed ``Vᵀ``: generic array leaves + :class:`DenseFactor` kernels.
+
+    Dense kernels (2-D input, bias present) are never materialized; their
+    blocks are represented by ``(z, δ)`` factors.  All other leaves follow the
+    generic engine.  Returns ``{path: array | DenseFactor}``.
+    """
+    check_subsampling_unique(subsampling)
+    params = variables["params"]
+    consts = {k: v for k, v in variables.items() if k != "params"}
+
+    # one batched (sub-sampled) forward to find factorable Dense layers
+    idx = None if subsampling is None else jnp.asarray(subsampling)
+    Xs = X if idx is None else jnp.take(X, idx, axis=0)
+    _, dense_inputs = capture_dense_inputs(
+        module, {"params": params, **consts}, Xs
+    )
+
+    flat_params = dict(flatten_with_paths(params))
+    factorable: Dict[str, jnp.ndarray] = {}
+    for name, z in dense_inputs.items():
+        kernel, bias = f"{name}/kernel", f"{name}/bias"
+        if z.ndim == 2 and kernel in flat_params and bias in flat_params:
+            factorable[kernel] = z
+        # extra input dims → generic fallback (reference linear.py:38-39)
+
+    diff_flat, const_flat = _split_params(params, factorable)
+
+    from vivit_tpu.utils.tree import leaf_paths, unravel_like
+
+    def model_fn_partial(diff_params, x):
+        merged = dict(flat_params)
+        merged.update(diff_params)
+        # rebuild the nested params dict
+        rebuilt = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(params),
+            [merged[p] for p in leaf_paths(params)],
+        )
+        return module.apply({"params": rebuilt, **consts}, x)
+
+    vt_generic = ggn_sqrt_vt(
+        model_fn_partial, loss, diff_flat, X, y,
+        subsampling=subsampling, mc_samples=mc_samples, key=key,
+        batch_size=batch_size,
+    )
+
+    mixed: Dict[str, Any] = dict(vt_generic)
+    for kernel, z in factorable.items():
+        bias = kernel.rsplit("/", 1)[0] + "/bias"
+        mixed[kernel] = DenseFactor(z=z, delta=vt_generic[bias])
+    return mixed
+
+
+def gram_matrix_mixed(
+    vt_mixed: Dict[str, Any],
+    paths: Optional[Sequence[str]] = None,
+    generic_precision=None,
+) -> jnp.ndarray:
+    """Gram over a mixed ``Vᵀ`` dict (generic + factored leaves).
+
+    ``generic_precision`` applies only to the *generic* (non-factored)
+    contractions; the factored Dense Grams are tiny and always run at the
+    ambient precision (full f32 in the default pipeline).
+    """
+    if paths is None:
+        paths = list(vt_mixed.keys())
+    total = None
+    for p in paths:
+        leaf = vt_mixed[p]
+        if isinstance(leaf, DenseFactor):
+            g = leaf.gram()
+        else:
+            cf, s = leaf.shape[:2]
+            flat = jnp.reshape(leaf, (cf * s, -1))
+            g = jnp.dot(flat, flat.T, preferred_element_type=jnp.float32,
+                        precision=generic_precision)
+        total = g if total is None else total + g
+    return total
+
+
+def v_mat_prod_mixed(
+    vt_mixed: Dict[str, Any],
+    gram_vecs: jnp.ndarray,
+    paths: Sequence[str],
+) -> List[jnp.ndarray]:
+    """Back-projection over a mixed ``Vᵀ`` dict → leaves ``[K, *shape]``."""
+    k = gram_vecs.shape[0]
+    gv = jnp.reshape(gram_vecs, (k, -1))
+    out = []
+    for p in paths:
+        leaf = vt_mixed[p]
+        if isinstance(leaf, DenseFactor):
+            out.append(leaf.v_mat_prod(gv))
+        else:
+            cf, s = leaf.shape[:2]
+            flat = jnp.reshape(leaf, (cf * s, -1))
+            out.append(jnp.reshape(gv @ flat, (k, *leaf.shape[2:])))
+    return out
+
+
+def eigvalsh_structured(
+    module: nn.Module,
+    variables: Any,
+    loss: Loss,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    group_paths: Optional[Sequence[Sequence[str]]] = None,
+    subsampling: Optional[Sequence[int]] = None,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    precision: str = "highest",
+    gram_precision: Optional[str] = None,
+):
+    """GGN eigenvalues with the Dense fast path (jittable, flax models).
+
+    Same semantics as :func:`vivit_tpu.linalg.eigvalsh` — verified to the
+    usual rtol=1e-4/atol=5e-6 eigenvalue tolerance against the generic path.
+    ``gram_precision`` demotes only the generic (conv) Gram contractions.
+    """
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+    from vivit_tpu.utils.tree import leaf_paths
+
+    with jax.default_matmul_precision(precision):
+        vt = structured_ggn_sqrt_vt(
+            module, variables, loss, X, y,
+            subsampling=subsampling, mc_samples=mc_samples, key=key,
+        )
+        if group_paths is None:
+            group_paths = (tuple(leaf_paths(variables["params"])),)
+        return tuple(
+            jnp.linalg.eigvalsh(
+                gram_matrix_mixed(
+                    vt, paths, generic_precision=_PRECISIONS[gram_precision]
+                )
+            )
+            for paths in group_paths
+        )
