@@ -118,6 +118,29 @@ def test_transformer_dense_with_extra_dims_falls_back():
                        rtol=1e-4, atol=5e-6)
 
 
+@pytest.mark.parametrize("subs", [(None, None), ([2, 0], [0, 3, 1])],
+                         ids=["full", "subsampled"])
+def test_newton_step_structured_matches_generic(subs):
+    from vivit_tpu.structured import newton_step_structured
+
+    sub_grad, sub_ggn = subs
+    module, variables, X, y = _mlp()
+    loss = vt.CrossEntropyLoss("mean")
+    model_fn = lambda p, x: module.apply({"params": p}, x)
+    params = variables["params"]
+    k = 4
+    step_s = newton_step_structured(
+        module, variables, loss, X, y, k, damping=1.0,
+        subsampling_grad=sub_grad, subsampling_ggn=sub_ggn,
+    )
+    step_g = vt.newton_step_topk(
+        model_fn, loss, params, X, y, k, damping=1.0,
+        subsampling_grad=sub_grad, subsampling_ggn=sub_ggn,
+    )
+    for a, b in zip(step_s, step_g):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
 def test_factored_v_mat_prod_matches_generic():
     module, variables, X, y = _mlp()
     loss = vt.CrossEntropyLoss("mean")

@@ -225,6 +225,92 @@ def v_mat_prod_mixed(
     return out
 
 
+def vt_mat_prod_mixed(
+    vt_mixed: Dict[str, Any],
+    mat_leaves: Sequence[jnp.ndarray],
+    paths: Sequence[str],
+) -> jnp.ndarray:
+    """``Vᵀ @ m`` over a mixed dict; ``mat_leaves[i]`` is ``[K, *shape_i]``."""
+    total = None
+    for p, m in zip(paths, mat_leaves):
+        leaf = vt_mixed[p]
+        if isinstance(leaf, DenseFactor):
+            r = leaf.vt_mat_prod(m)
+        else:
+            cf, s = leaf.shape[:2]
+            flat = jnp.reshape(leaf, (cf * s, -1))
+            r = flat @ jnp.reshape(m, (m.shape[0], -1)).T
+        total = r if total is None else total + r
+    return total
+
+
+def newton_step_structured(
+    module: nn.Module,
+    variables: Any,
+    loss: Loss,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    k: int,
+    damping: float = 1.0,
+    *,
+    subsampling_grad: Optional[Sequence[int]] = None,
+    subsampling_ggn: Optional[Sequence[int]] = None,
+    mc_samples_ggn: int = 0,
+    key: Optional[jax.Array] = None,
+    precision: str = "highest",
+    gram_precision: Optional[str] = None,
+    solver: str = "eigh",
+) -> List[jnp.ndarray]:
+    """Damped Newton step with the Dense fast path (jittable, flax models).
+
+    Same semantics as :func:`vivit_tpu.optim.newton_step_topk`; the dense
+    Gram/projection work runs in Kronecker-factored form.
+    """
+    from vivit_tpu.eig import topk_eigh
+    from vivit_tpu.ggn import batch_grad
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+    from vivit_tpu.optim.utils import gammas_lambdas
+    from vivit_tpu.utils.tree import leaf_paths, select_paths
+
+    if loss.reduction != "mean":
+        raise ValueError("Newton step requires reduction='mean'.")
+    params = variables["params"]
+    consts = {kk: v for kk, v in variables.items() if kk != "params"}
+
+    def model_fn(p, x):
+        return module.apply({"params": p, **consts}, x)
+
+    with jax.default_matmul_precision(precision):
+        n = X.shape[0]
+        s_ggn = len(subsampling_ggn) if subsampling_ggn is not None else n
+        paths = tuple(leaf_paths(params))
+
+        vt = structured_ggn_sqrt_vt(
+            module, variables, loss, X, y,
+            subsampling=subsampling_ggn, mc_samples=mc_samples_ggn, key=key,
+        )
+        gram = gram_matrix_mixed(
+            vt, paths, generic_precision=_PRECISIONS[gram_precision]
+        )
+        evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver)
+
+        grads = batch_grad(model_fn, loss, params, X, y,
+                           subsampling=subsampling_grad)
+        grad_leaves = [leaf * n for _, leaf in select_paths(grads, paths)]
+        v_t_g = vt_mat_prod_mixed(vt, grad_leaves, paths)  # [CF·S, N_grad]
+
+        gammas, lambdas = gammas_lambdas(gram, evals_sel, evecs_sel, v_t_g,
+                                         s_ggn)
+        coefficients = (
+            -jnp.mean(gammas, axis=0)
+            / (jnp.mean(lambdas, axis=0) + damping)
+            / jnp.sqrt(evals_sel)
+        )
+        v = evecs_sel @ coefficients
+        leaves = v_mat_prod_mixed(vt, v[None, :], paths)
+        return [leaf[0] for leaf in leaves]
+
+
 def eigvalsh_structured(
     module: nn.Module,
     variables: Any,
