@@ -8,7 +8,7 @@ are returned in ascending order with eigenvectors stored column-wise, matching
 the torch convention the downstream code assumes.
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -30,8 +30,7 @@ vivit/linalg/eigvalsh.py:217-219):
   subsets (see :mod:`vivit_tpu.gram`).
 """
 
-from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -1,7 +1,5 @@
 """Low-rank utility operators (reference vivit/hessianfree/utils.py:7-57)."""
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,14 +1,13 @@
 """Shared helpers for the computation API layer."""
 
 import warnings
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
 from vivit_tpu.utils.checks import (
     check_key_exists,
     check_params_exist,
-    check_subsampling_unique,
     check_unique_params,
 )
 from vivit_tpu.utils.tree import leaf_paths

@@ -26,7 +26,7 @@ Everything is a pure function of ``(f, y)`` so it traces cleanly under
 ``jit``/``vmap``/``shard_map``.
 """
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ the single ``V``-application (damped_newton.py:361-373) become two matmuls.
 """
 
 from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -24,13 +24,11 @@ invariant, and every consumer in this module uses the same layout, so
 results match the single-chip API exactly (tested on an 8-device CPU mesh).
 """
 
-from functools import partial
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from vivit_tpu.ggn import batch_grad, ggn_sqrt_vt
 from vivit_tpu.losses import Loss

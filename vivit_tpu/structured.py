@@ -28,7 +28,7 @@ dimensions fall back to the generic path.
 """
 
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -153,7 +153,7 @@ def structured_ggn_sqrt_vt(
 
     diff_flat, const_flat = _split_params(params, factorable)
 
-    from vivit_tpu.utils.tree import leaf_paths, unravel_like
+    from vivit_tpu.utils.tree import leaf_paths
 
     def model_fn_partial(diff_params, x):
         merged = dict(flat_params)

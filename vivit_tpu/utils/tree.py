@@ -11,7 +11,7 @@ All heavy lifting (Gram contraction, back-projection) happens on flattened
 ``[*, D_leaf]`` matrices so the MXU sees large 2-D matmuls.
 """
 
-from typing import Any, Callable, Dict, List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
