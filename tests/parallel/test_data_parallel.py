@@ -109,6 +109,55 @@ def test_eigh_dp_matches_single_chip():
                        atol=1e-3)
 
 
+def test_eigvalsh_dp_structured_matches_single_chip():
+    """Structured DP (all_gathered dense factors) == generic single-chip."""
+    import flax.linen as nn
+
+    from vivit_tpu.models import MLP
+    from vivit_tpu.parallel import eigvalsh_dp_structured
+
+    mesh = _mesh()
+    module = MLP(features=(6, C))
+    variables = module.init(jax.random.PRNGKey(2),
+                            jnp.ones((1, D_IN), jnp.float32))
+    rng = np.random.default_rng(33)
+    X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+
+    fn = eigvalsh_dp_structured(module, loss, mesh)
+    evals_dp = np.sort(np.asarray(fn(variables, X, y, None)))
+
+    model_fn = lambda p, x: module.apply({"params": p}, x)
+    (evals_sc,) = vt.EigvalshComputation(model_fn, loss).compute(
+        variables["params"], X, y
+    )
+    assert np.allclose(evals_dp, np.sort(np.asarray(evals_sc)),
+                       rtol=1e-4, atol=5e-6)
+
+
+def test_eigvalsh_dp_structured_sum_reduction():
+    from vivit_tpu.models import MLP
+    from vivit_tpu.parallel import eigvalsh_dp_structured
+
+    mesh = _mesh()
+    module = MLP(features=(6, C))
+    variables = module.init(jax.random.PRNGKey(3),
+                            jnp.ones((1, D_IN), jnp.float32))
+    rng = np.random.default_rng(34)
+    X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("sum")
+    fn = eigvalsh_dp_structured(module, loss, mesh)
+    evals_dp = np.sort(np.asarray(fn(variables, X, y, None)))
+    model_fn = lambda p, x: module.apply({"params": p}, x)
+    (evals_sc,) = vt.EigvalshComputation(model_fn, loss).compute(
+        variables["params"], X, y
+    )
+    assert np.allclose(evals_dp, np.sort(np.asarray(evals_sc)),
+                       rtol=1e-4, atol=5e-5)
+
+
 def test_eigvalsh_dp_sharded_inputs():
     """Explicitly sharded global arrays work and keep the batch distributed."""
     mesh = _mesh()

@@ -115,6 +115,89 @@ def eigvalsh_dp(
     return jax.jit(shard_fn)
 
 
+def eigvalsh_dp_structured(
+    module,
+    loss: Loss,
+    mesh: Mesh,
+    *,
+    mc_samples: int = 0,
+    axis_name: str = DEFAULT_AXIS,
+    precision: str = "highest",
+    gram_precision: str = None,
+) -> Callable:
+    """Data-parallel eigenvalues with the Dense fast path (flax models).
+
+    Dense ``(z, δ)`` factors are tiny, so their global Gram blocks are built
+    from one ``all_gather`` of the factors (communication ≪ resharding the
+    materialized ``V``); only the generic (conv) leaves go through the
+    all_to_all + psum pipeline.  Column order is ``(device, cf, n_local)`` on
+    both parts — consistent with :func:`eigvalsh_dp`.
+
+    ``fn(variables, X, y, key) -> evals`` (global batch sharded over the mesh).
+    """
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+    from vivit_tpu.structured import DenseFactor, structured_ggn_sqrt_vt
+
+    gp = _PRECISIONS[gram_precision]
+
+    def per_shard(variables, X_l, y_l, key):
+        with jax.default_matmul_precision(precision):
+            n_local = X_l.shape[0]
+            k = jax.lax.axis_size(axis_name)
+            n_global = n_local * k
+            dev = jax.lax.axis_index(axis_name)
+            ids = dev * n_local + jnp.arange(n_local)
+
+            # per-shard mixed Vᵀ with the global column scale
+            vt = structured_ggn_sqrt_vt(
+                module, variables, loss, X_l, y_l,
+                mc_samples=mc_samples, key=key,
+            )
+            # structured_ggn_sqrt_vt used the *local* scale √(1/n_local);
+            # rescale columns to the global √ρ(n_global) convention
+            rescale = jnp.sqrt(
+                jnp.asarray(loss.rho(n_global) / loss.rho(n_local) * 1.0)
+            )
+            # (√(ρ_g)/√(ρ_l)); for mean reduction = √(n_local/n_global)
+
+            gram = None
+            generic_mats = []
+            for path, leaf in vt.items():
+                if isinstance(leaf, DenseFactor):
+                    # gather factors: [k, S_l, in] and [k, CF, S_l, out]
+                    z_g = jax.lax.all_gather(leaf.z, axis_name)
+                    d_g = jax.lax.all_gather(leaf.delta * rescale, axis_name)
+                    kk, cf, s_l, out = d_g.shape
+                    zz = jnp.einsum("ani,bmi->anbm", z_g, z_g)  # [k,S,k,S]
+                    df = jnp.reshape(d_g, (kk * cf * s_l, out))
+                    dd = jnp.dot(df, df.T, preferred_element_type=jnp.float32)
+                    dd = jnp.reshape(dd, (kk, cf, s_l, kk, cf, s_l))
+                    g = dd * zz[:, None, :, :, None, :]
+                    g = jnp.reshape(g, (kk * cf * s_l, kk * cf * s_l))
+                    gram = g if gram is None else gram + g
+                else:
+                    cf, s_l = leaf.shape[:2]
+                    generic_mats.append(
+                        jnp.reshape(leaf * rescale, (cf * s_l, -1))
+                    )
+            if generic_mats:
+                g = sharded_gram(
+                    jnp.concatenate(generic_mats, axis=1), axis_name,
+                    precision=gp,
+                )
+                gram = g if gram is None else gram + g
+            return jnp.linalg.eigvalsh(gram)
+
+    shard_fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
 def eigh_dp(
     model_fn,
     loss: Loss,
