@@ -25,12 +25,6 @@ from vivit_tpu.ggn import ggn_vector_product, hessian_vector_product
 from vivit_tpu.losses import Loss
 from vivit_tpu.utils.tree import num_params, ravel, unravel_like
 
-try:  # tqdm is optional, like the reference's progressbar (reference :224-231)
-    from tqdm import tqdm
-except ImportError:  # pragma: no cover
-    tqdm = None
-
-
 def _stack_data(data) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stack equal-sized batches into ``[B, n, ...]`` device arrays."""
     Xs = jnp.stack([jnp.asarray(X) for X, _ in data])
@@ -135,6 +129,10 @@ class _LinearOperator:
         progressbar: bool = False,
         check_deterministic: bool = True,
     ):
+        # ``progressbar`` is accepted for reference-API compatibility
+        # (vivit/hessianfree/__init__.py:224-231) but has nothing to show:
+        # a matvec here is ONE fused lax.scan over the dataset, not a
+        # host-side batch loop.
         self._model_fn = model_fn
         self._loss = loss
         self._params = params

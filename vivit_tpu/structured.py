@@ -151,7 +151,7 @@ def structured_ggn_sqrt_vt(
             factorable[kernel] = z
         # extra input dims → generic fallback (reference linear.py:38-39)
 
-    diff_flat, const_flat = _split_params(params, factorable)
+    diff_flat, _ = _split_params(params, factorable)
 
     from vivit_tpu.utils.tree import leaf_paths
 
