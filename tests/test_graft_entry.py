@@ -1,0 +1,24 @@
+"""Driver entry points stay healthy: entry() compiles, dryrun runs."""
+
+import jax
+import numpy as np
+
+
+def test_entry_compiles():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 10)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dryrun_multichip_on_available_devices():
+    import __graft_entry__
+
+    n = min(8, len(jax.devices()))
+    if n < 2:
+        import pytest
+
+        pytest.skip("needs >=2 devices")
+    __graft_entry__.dryrun_multichip(n)
