@@ -1,0 +1,93 @@
+"""Edge-case behavior: empty criterion selections, criteria helpers, log spectrum."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+
+
+def _setup():
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)}
+
+    def model_fn(p, x):
+        return x @ p["w"]
+
+    X = jnp.asarray(rng.normal(size=(5, 4)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 3, size=(5,)), jnp.int32)
+    return model_fn, params, X, y, vt.CrossEntropyLoss("mean")
+
+
+def test_empty_criterion_eigh():
+    """A criterion keeping nothing yields empty eigenpairs, not a crash."""
+    model_fn, params, X, y, loss = _setup()
+    ((evals, evecs),) = vt.EighComputation(model_fn, loss).compute(
+        params, X, y, [{"params": ["w"], "criterion": lambda e: []}]
+    )
+    assert evals.shape == (0,)
+    assert evecs[0].shape == (0, 4, 3)
+
+
+def test_empty_criterion_newton_is_zero_step():
+    """No directions kept → the damped Newton step is exactly zero."""
+    model_fn, params, X, y, loss = _setup()
+    (step,) = vt.DirectionalDampedNewtonComputation(model_fn, loss).compute(
+        params, X, y,
+        [{"params": ["w"], "criterion": lambda e: [],
+          "damping": vt.constant_damping(1.0)}],
+    )
+    assert float(jnp.linalg.norm(step[0])) == 0.0
+
+
+def test_mc_without_key_raises():
+    model_fn, params, X, y, loss = _setup()
+    with pytest.raises(ValueError, match="PRNG"):
+        vt.EigvalshComputation(model_fn, loss, mc_samples=2).compute(
+            params, X, y
+        )
+
+
+def test_keep_nonzero_criterion():
+    evals = np.array([-1e-9, 0.0, 1e-8, 0.5, 2.0])
+    keep = vt.keep_nonzero()(evals)
+    assert keep == [3, 4]
+
+
+def test_keep_top_k_respects_floor():
+    evals = np.array([1e-7, 1e-6, 0.1, 0.5, 2.0])
+    keep = vt.keep_top_k(10, must_exceed=1e-5)(evals)
+    assert keep == [2, 3, 4]
+    keep = vt.keep_top_k(2, must_exceed=1e-5)(evals)
+    assert keep == [3, 4]
+
+
+def test_log_spectrum_density():
+    """lanczos_approximate_log_spectrum runs and produces a positive density
+    concentrated inside the |spectrum| range."""
+    from vivit_tpu.hessianfree import lanczos_approximate_log_spectrum
+
+    rng = np.random.default_rng(2)
+    Q, _ = np.linalg.qr(rng.normal(size=(60, 60)))
+    evals_true = np.concatenate([
+        rng.uniform(0.01, 0.1, 30), rng.uniform(1.0, 4.0, 30)
+    ])
+    A = Q @ np.diag(evals_true) @ Q.T
+
+    class Op:
+        shape = A.shape
+        dtype = np.dtype(np.float64)
+
+        def __matmul__(self, v):
+            return A @ v
+
+    from scipy.sparse.linalg import aslinearoperator
+
+    grid, density = lanczos_approximate_log_spectrum(
+        aslinearoperator(A), ncv=30, num_points=128, num_repeats=2, seed=0
+    )
+    assert np.all(density >= 0)
+    assert grid[0] < 0.02 and grid[-1] > 3.5  # covers the |spectrum| range
+    mass = np.trapezoid(density, grid)
+    assert 0.3 < mass < 2.0

@@ -138,7 +138,10 @@ def v_mat_prod(
     """
     pairs = flatten_with_paths(vt) if paths is None else select_paths(vt, paths)
     k = gram_vecs.shape[0]
-    gv = jnp.reshape(gram_vecs, (k, -1))  # [K, CF·S]
+    # explicit column count: reshape with -1 cannot infer it when K == 0
+    # (empty criterion selections are legal)
+    cf0, s0 = pairs[0][1].shape[:2]
+    gv = jnp.reshape(gram_vecs, (k, cf0 * s0))  # [K, CF·S]
     out_paths, out_leaves = [], []
     for p, leaf in pairs:
         cf, s = leaf.shape[:2]
@@ -182,6 +185,13 @@ def normalize(leaves: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
     Reference: vivit/linalg/utils.py:67-76.  Each ``leaves[i]`` is
     ``[K, *shape]``; vector ``k`` is spread across all leaves.
     """
-    sq = sum(jnp.sum(jnp.reshape(l**2, (l.shape[0], -1)), axis=1) for l in leaves)
+    sq = sum(
+        jnp.sum(jnp.reshape(l**2, (l.shape[0], int(np.prod(l.shape[1:])))),
+                axis=1)
+        for l in leaves
+    )
     inv = 1.0 / jnp.sqrt(sq)
-    return [l * jnp.reshape(inv, (-1,) + (1,) * (l.ndim - 1)) for l in leaves]
+    return [
+        l * jnp.reshape(inv, (inv.shape[0],) + (1,) * (l.ndim - 1))
+        for l in leaves
+    ]

@@ -204,7 +204,9 @@ class EighComputation:
         for group, paths, (gram_evals, gram_evecs) in zip(
             param_groups, group_paths, eigs
         ):
-            keep = np.asarray(group["criterion"](np.asarray(gram_evals)))
+            # intp cast: an empty criterion selection must index cleanly
+            keep = np.asarray(group["criterion"](np.asarray(gram_evals)),
+                              dtype=np.intp)
             evals = gram_evals[keep]
             warn_if_small(evals, self._warn_small_eigvals)
             evecs = backproject(vt, gram_evecs[:, keep], evals, paths)

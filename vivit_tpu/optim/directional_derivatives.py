@@ -146,7 +146,8 @@ class DirectionalDerivativesComputation:
 
         results = []
         for group, (gram, evals, evecs, v_t_g) in zip(param_groups, per_group):
-            keep = np.asarray(group["criterion"](np.asarray(evals)))
+            keep = np.asarray(group["criterion"](np.asarray(evals)),
+                              dtype=np.intp)
             evals_sel, evecs_sel = evals[keep], evecs[:, keep]
             warn_if_small(evals_sel, self._warn_small_eigvals)
             gammas, lambdas = gammas_lambdas(gram, evals_sel, evecs_sel, v_t_g, s_ggn)
