@@ -1,0 +1,7 @@
+
+
+def test_keep_top_k_zero_selects_nothing():
+    import numpy as np
+    import vivit_tpu as vt
+
+    assert vt.keep_top_k(0)(np.array([0.1, 0.5, 2.0])) == []

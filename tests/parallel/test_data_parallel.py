@@ -158,6 +158,33 @@ def test_eigvalsh_dp_structured_sum_reduction():
                        rtol=1e-4, atol=5e-5)
 
 
+def test_eigvalsh_dp_structured_mc_matches_single_chip():
+    """Structured DP with MC sampling folds GLOBAL sample ids (layout
+    invariance) — regression for duplicated per-chip MC draws."""
+    from vivit_tpu.models import MLP
+    from vivit_tpu.parallel import eigvalsh_dp_structured
+
+    mesh = _mesh()
+    module = MLP(features=(6, C))
+    variables = module.init(jax.random.PRNGKey(5),
+                            jnp.ones((1, D_IN), jnp.float32))
+    rng = np.random.default_rng(35)
+    X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+    key = jax.random.PRNGKey(7)
+
+    fn = eigvalsh_dp_structured(module, loss, mesh, mc_samples=2)
+    evals_dp = np.sort(np.asarray(fn(variables, X, y, key)))
+
+    model_fn = lambda p, x: module.apply({"params": p}, x)
+    (evals_sc,) = vt.EigvalshComputation(model_fn, loss, mc_samples=2).compute(
+        variables["params"], X, y, key=key
+    )
+    assert np.allclose(evals_dp, np.sort(np.asarray(evals_sc)),
+                       rtol=1e-4, atol=5e-6)
+
+
 def test_eigvalsh_dp_sharded_inputs():
     """Explicitly sharded global arrays work and keep the batch distributed."""
     mesh = _mesh()

@@ -68,6 +68,8 @@ def keep_top_k(k: int, must_exceed: float = 0.0) -> Callable:
     """
 
     def criterion(evals) -> List[int]:
+        if k <= 0:
+            return []
         ev = np.asarray(evals)
         num = ev.shape[0]
         candidates = [i for i in range(num) if ev[i] > must_exceed]

@@ -151,7 +151,7 @@ def eigvalsh_dp_structured(
             # per-shard mixed Vᵀ with the global column scale
             vt = structured_ggn_sqrt_vt(
                 module, variables, loss, X_l, y_l,
-                mc_samples=mc_samples, key=key,
+                mc_samples=mc_samples, key=key, sample_ids=ids,
             )
             # structured_ggn_sqrt_vt used the *local* scale √(1/n_local);
             # rescale columns to the global √ρ(n_global) convention

@@ -91,19 +91,25 @@ class DenseFactor:
 def capture_dense_inputs(module: nn.Module, variables: Any, X: jnp.ndarray):
     """Run a batched forward capturing each ``nn.Dense`` input.
 
-    Returns ``(outputs, {dense_layer_name: input [S, ..., in]})``.
+    Returns ``(outputs, {dense_layer_name: input [S, ..., in]}, repeated)``
+    where ``repeated`` is the set of Dense layers applied more than once
+    (weight sharing) — their captured input covers only the last call site,
+    so they must NOT be factored.
     """
     captured: Dict[str, jnp.ndarray] = {}
+    repeated: set = set()
 
     def interceptor(next_fn, args, kwargs, context):
         if isinstance(context.module, nn.Dense) and context.method_name == "__call__":
             name = "/".join(str(p) for p in context.module.path)
+            if name in captured:
+                repeated.add(name)
             captured[name] = args[0]
         return next_fn(*args, **kwargs)
 
     with nn.intercept_methods(interceptor):
         out = module.apply(variables, X)
-    return out, captured
+    return out, captured, repeated
 
 
 def _split_params(params, factored_kernels):
@@ -125,12 +131,17 @@ def structured_ggn_sqrt_vt(
     mc_samples: int = 0,
     key: Optional[jax.Array] = None,
     batch_size: Optional[int] = None,
+    sample_ids: Optional[jnp.ndarray] = None,
 ) -> Dict[str, Any]:
     """Mixed ``Vᵀ``: generic array leaves + :class:`DenseFactor` kernels.
 
     Dense kernels (2-D input, bias present) are never materialized; their
     blocks are represented by ``(z, δ)`` factors.  All other leaves follow the
     generic engine.  Returns ``{path: array | DenseFactor}``.
+
+    ``sample_ids`` are the global sample indices folded into the MC PRNG key
+    (layout invariance across device meshes) — forwarded to
+    :func:`vivit_tpu.ggn.ggn_sqrt_vt`.
     """
     check_subsampling_unique(subsampling)
     params = variables["params"]
@@ -139,13 +150,17 @@ def structured_ggn_sqrt_vt(
     # one batched (sub-sampled) forward to find factorable Dense layers
     idx = None if subsampling is None else jnp.asarray(subsampling)
     Xs = X if idx is None else jnp.take(X, idx, axis=0)
-    _, dense_inputs = capture_dense_inputs(
+    _, dense_inputs, repeated = capture_dense_inputs(
         module, {"params": params, **consts}, Xs
     )
 
     flat_params = dict(flatten_with_paths(params))
     factorable: Dict[str, jnp.ndarray] = {}
     for name, z in dense_inputs.items():
+        if name in repeated:
+            # weight sharing: captured z covers only the last call site while
+            # the bias cotangent accumulates over all of them → generic path
+            continue
         kernel, bias = f"{name}/kernel", f"{name}/bias"
         if z.ndim == 2 and kernel in flat_params and bias in flat_params:
             factorable[kernel] = z
@@ -168,7 +183,7 @@ def structured_ggn_sqrt_vt(
     vt_generic = ggn_sqrt_vt(
         model_fn_partial, loss, diff_flat, X, y,
         subsampling=subsampling, mc_samples=mc_samples, key=key,
-        batch_size=batch_size,
+        batch_size=batch_size, sample_ids=sample_ids,
     )
 
     mixed: Dict[str, Any] = dict(vt_generic)
