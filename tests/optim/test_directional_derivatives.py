@@ -96,3 +96,94 @@ def test_mc_sampled_directions_run():
     )
     assert np.all(np.isfinite(np.asarray(gammas)))
     assert np.all(np.asarray(lambdas) >= -1e-6)
+
+
+EXTENDED_NAMES = ["batchnorm_ce_mean", "branched_ce_mean", "transformer_ce_mean"]
+EXTENDED_PROBLEMS = [p for p in MEAN_PROBLEMS if p.name in EXTENDED_NAMES]
+
+
+@pytest.mark.parametrize("problem", EXTENDED_PROBLEMS,
+                         ids=[p.name for p in EXTENDED_PROBLEMS])
+def test_gammas_lambdas_parity_extended(problem):
+    """γ/λ parity on the architectures absent from the core matrix
+    (batchnorm/branched/transformer), one sub-sampling combo each."""
+    sub_grad, sub_ggn = [2, 0], [0, 3, 1]
+    criterion = vt.keep_top_k(5, must_exceed=1e-5)
+    comp = vt.DirectionalDerivativesComputation(
+        problem.model_fn, problem.loss,
+        subsampling_grad=sub_grad, subsampling_ggn=sub_ggn,
+    )
+    param_groups = [{"params": problem.paths, "criterion": criterion}]
+    ((gammas, lambdas),) = comp.compute(
+        problem.params, problem.X, problem.y, param_groups
+    )
+    _, _, gammas_o, lambdas_o = _oracle_gammas_lambdas(
+        problem, problem.paths, criterion, sub_grad, sub_ggn
+    )
+    assert np.allclose(np.abs(np.asarray(gammas)), np.abs(gammas_o),
+                       rtol=1e-5, atol=1e-4), problem.name
+    assert np.allclose(np.asarray(lambdas), lambdas_o,
+                       rtol=1e-5, atol=1e-5), problem.name
+
+
+@pytest.mark.parametrize("mc_samples", [1, 4])
+def test_mc_lambda_rayleigh_identity(mc_samples):
+    """For any MC draw, the batch mean of λ[n,k] must equal the Gram
+    eigenvalue λ̃_k exactly (Rayleigh-quotient identity): a deterministic
+    property test of the multi-sample λ machinery at M>1 — the regime the
+    reference forbids (vivit/optim/directional_derivatives.py:73-74)."""
+    import jax
+
+    from vivit_tpu.optim.directional_derivatives import (
+        directional_derivatives_topk,
+    )
+
+    problem = MEAN_PROBLEMS[0]
+    evals, _, lambdas = directional_derivatives_topk(
+        problem.model_fn, problem.loss, problem.params, problem.X, problem.y,
+        3, mc_samples_ggn=mc_samples, key=jax.random.PRNGKey(7),
+    )
+    assert np.allclose(np.asarray(lambdas).mean(axis=0), np.asarray(evals),
+                       rtol=1e-4, atol=1e-6)
+
+
+def test_mc_gammas_lambdas_converge_to_exact():
+    """Chunked MC γ/λ (M=128 × 8 draws) converge to the exact pipeline.
+
+    Mirrors ``test_mc_ggn_converges_to_exact``'s statistical strategy, but
+    through the *directional* pipeline.  Because the top eigenvalues of tiny
+    problems are nearly degenerate, per-direction quantities don't converge —
+    the rotation-invariant subspace quantities do: Σ_k λ̃_k, per-sample
+    ‖γ[n,:]‖ (gradient energy in the top-k subspace) and Σ_k λ[n,k]
+    (per-sample curvature trace over the subspace)."""
+    import jax
+
+    from vivit_tpu.optim.directional_derivatives import (
+        directional_derivatives_topk,
+    )
+
+    problem, k = MEAN_PROBLEMS[0], 3
+    ev_e, g_e, l_e = directional_derivatives_topk(
+        problem.model_fn, problem.loss, problem.params, problem.X, problem.y, k
+    )
+    g_norm_e = np.linalg.norm(np.asarray(g_e), axis=1)
+    l_sum_e = np.asarray(l_e).sum(axis=1)
+    ev_sum_e = np.asarray(ev_e).sum()
+
+    M, chunks = 128, 8
+    g_norms, l_sums, ev_sums = [], [], []
+    for c in range(chunks):
+        ev, g, l = directional_derivatives_topk(
+            problem.model_fn, problem.loss, problem.params,
+            problem.X, problem.y, k,
+            mc_samples_ggn=M, key=jax.random.PRNGKey(1000 + c),
+        )
+        g_norms.append(np.linalg.norm(np.asarray(g), axis=1))
+        l_sums.append(np.asarray(l).sum(axis=1))
+        ev_sums.append(np.asarray(ev).sum())
+
+    assert np.allclose(np.mean(ev_sums), ev_sum_e, rtol=5e-2)
+    assert np.allclose(np.mean(g_norms, axis=0), g_norm_e,
+                       rtol=2e-1, atol=1e-2)
+    assert np.allclose(np.mean(l_sums, axis=0), l_sum_e,
+                       rtol=2e-1, atol=5e-2)
