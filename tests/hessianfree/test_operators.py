@@ -114,11 +114,48 @@ def test_gradient_and_loss_normalization():
                        rtol=1e-4, atol=1e-7)
 
 
-def test_ragged_batches_rejected():
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
+@pytest.mark.parametrize("kind", ["ggn", "hessian"])
+def test_ragged_final_batch(kind, reduction):
+    """Unequal last batch matches the explicit dataset-matrix oracle
+    (reference handles ragged batches in its host loop,
+    vivit/hessianfree/__init__.py:254-277)."""
+    model_fn, params, data, loss = _setup(reduction)
+    ragged = data + [(data[0][0][:2], data[0][1][:2])]
+    M = _dataset_matrix(model_fn, loss, params, ragged, kind)
+    make = ggn_operator if kind == "ggn" else hessian_operator
+    op = make(model_fn, loss, params, ragged)
+    v = np.random.default_rng(6).normal(size=(M.shape[0],)).astype(np.float32)
+    assert np.allclose(np.asarray(op(jnp.asarray(v))), M @ v,
+                       rtol=1e-4, atol=1e-6)
+
+
+def test_ragged_gradient_and_loss():
     model_fn, params, data, loss = _setup()
-    bad = data + [(data[0][0][:2], data[0][1][:2])]
-    with pytest.raises(ValueError, match="equal size"):
-        ggn_operator(model_fn, loss, params, bad)
+    ragged = data + [(data[0][0][:3], data[0][1][:3])]
+    g, l = gradient_and_loss(model_fn, loss, params, ragged)
+    X_all = np.concatenate([X for X, _ in ragged])
+    y_all = np.concatenate([y for _, y in ragged])
+    want_l = float(loss(model_fn(params, jnp.asarray(X_all)), jnp.asarray(y_all)))
+    want_g = jax.grad(
+        lambda p: loss(model_fn(p, jnp.asarray(X_all)), jnp.asarray(y_all))
+    )(params)
+    assert np.isclose(float(l), want_l, rtol=1e-5)
+    assert np.allclose(np.asarray(ravel(g)), np.asarray(ravel(want_g)),
+                       rtol=1e-4, atol=1e-7)
+
+
+def test_boundaries_accept_wrapper_directly():
+    """ARPACK entry points take the library's own wrappers — no .as_scipy()."""
+    model_fn, params, data, loss = _setup()
+    op = GGNLinearOperator(model_fn, loss, params, data,
+                           check_deterministic=False)
+    G = _dataset_matrix(model_fn, loss, params, data, "ggn")
+    from vivit_tpu.hessianfree import approximate_boundaries
+
+    lo, hi = approximate_boundaries(op, tol=1e-4)
+    true = np.linalg.eigvalsh(G)
+    assert np.isclose(hi, true[-1], rtol=1e-3, atol=1e-6)
 
 
 def test_fast_lanczos_recovers_spectrum():

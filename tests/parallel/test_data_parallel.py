@@ -200,6 +200,146 @@ def test_eigvalsh_dp_sharded_inputs():
                        rtol=1e-4, atol=5e-6)
 
 
+def test_eigvalsh_dp_group_paths():
+    """Block-diagonal param_groups on the DP path match single-chip groups."""
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    groups = [["w1", "b1"], ["w2"]]
+
+    fn = eigvalsh_dp(model_fn, loss, mesh, group_paths=groups)
+    evals_dp = fn(params, X, y, None)
+
+    comp = vt.EigvalshComputation(model_fn, loss)
+    evals_sc = comp.compute(params, X, y, param_groups=[
+        {"params": g} for g in groups
+    ])
+    for dp, sc in zip(evals_dp, evals_sc):
+        assert np.allclose(np.sort(np.asarray(dp)), np.sort(np.asarray(sc)),
+                           rtol=1e-4, atol=5e-6)
+
+
+def test_eigvalsh_dp_subsampling():
+    """Global-index sub-sampling on the DP path: the nonzero spectrum matches
+    the single-chip sub-sampled estimate (DP carries extra exact zeros)."""
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    sub = [0, 3, 9, 14]  # spans several shards
+
+    fn = eigvalsh_dp(model_fn, loss, mesh, subsampling=sub)
+    evals_dp = np.sort(np.asarray(fn(params, X, y, None)))
+
+    (evals_sc,) = vt.EigvalshComputation(model_fn, loss,
+                                         subsampling=sub).compute(params, X, y)
+    evals_sc = np.sort(np.asarray(evals_sc))
+    assert np.allclose(evals_dp[-len(evals_sc):], evals_sc,
+                       rtol=1e-4, atol=5e-6)
+    # the padding rows contribute (numerical) zeros
+    assert np.allclose(evals_dp[: len(evals_dp) - len(evals_sc)], 0.0,
+                       atol=1e-6)
+
+
+def test_newton_step_dp_subsampling():
+    """Dual sub-sampling (grad/GGN) through the full DP Newton step."""
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    k, sub_grad, sub_ggn = 3, [1, 4, 8, 12], [0, 3, 9, 14, 7, 11]
+
+    fn = newton_step_dp(model_fn, loss, mesh, k_top=k, damping=1.0,
+                        subsampling_grad=sub_grad, subsampling_ggn=sub_ggn)
+    _, step_dp = fn(params, X, y, None)
+
+    step_sc = vt.newton_step_topk(model_fn, loss, params, X, y, k,
+                                  damping=1.0, subsampling_grad=sub_grad,
+                                  subsampling_ggn=sub_ggn)
+    flat_sc = np.concatenate([np.asarray(s).ravel() for s in step_sc])
+    flat_dp = np.asarray(ravel(step_dp))
+    assert np.allclose(flat_dp, flat_sc, rtol=1e-4, atol=1e-6)
+
+
+def test_newton_step_dp_group_paths():
+    """Block-diagonal DP Newton: per-group steps match single-chip blocks."""
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    k = 2
+    groups = [["w1", "b1"], ["w2"]]
+
+    fn = newton_step_dp(model_fn, loss, mesh, k_top=k, damping=1.0,
+                        group_paths=groups)
+    evals_dp, steps_dp = fn(params, X, y, None)
+    assert len(evals_dp) == len(steps_dp) == 2
+
+    for paths, step_dp in zip(groups, steps_dp):
+        step_sc = vt.newton_step_topk(model_fn, loss, params, X, y, k,
+                                      damping=1.0, paths=tuple(paths))
+        for dp, sc in zip(step_dp, step_sc):
+            assert np.allclose(np.asarray(dp), np.asarray(sc),
+                               rtol=1e-4, atol=1e-6), paths
+
+
+def test_newton_step_dp_structured_matches_single_chip():
+    """Structured × distributed Newton == single-chip structured Newton."""
+    from vivit_tpu.models import MLP
+    from vivit_tpu.parallel import newton_step_dp_structured
+    from vivit_tpu.structured import newton_step_structured
+
+    mesh = _mesh()
+    module = MLP(features=(6, C))
+    variables = module.init(jax.random.PRNGKey(4),
+                            jnp.ones((1, D_IN), jnp.float32))
+    rng = np.random.default_rng(44)
+    X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+    k = 3
+
+    fn = newton_step_dp_structured(module, loss, mesh, k_top=k, damping=1.0)
+    evals_dp, step_dp = fn(variables, X, y, None)
+
+    step_sc = newton_step_structured(module, variables, loss, X, y, k,
+                                     damping=1.0)
+    flat_sc = np.concatenate([np.asarray(s).ravel() for s in step_sc])
+    flat_dp = np.asarray(ravel(step_dp))
+    assert np.all(np.isfinite(np.asarray(evals_dp)))
+    assert np.allclose(flat_dp, flat_sc, rtol=1e-4, atol=1e-6)
+
+
+def test_eigh_dp_criterion_and_warning():
+    """The DP eigenpair path carries the single-chip safety rails:
+    arbitrary host criteria and the small-eigenvalue warning."""
+    import warnings
+
+    from vivit_tpu.parallel import eigh_dp
+
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    k = 3
+    criterion = vt.keep_top_k(k, must_exceed=1e-5)
+
+    fn = eigh_dp(model_fn, loss, mesh, criterion=criterion)
+    evals_dp, evecs_dp = fn(params, X, y, None)
+    assert np.asarray(evals_dp).shape == (k,)
+
+    evals_sc, _ = jax.jit(
+        lambda p, X, y: vt.eigh_topk(model_fn, loss, p, X, y, k)
+    )(params, X, y)
+    assert np.allclose(np.asarray(evals_dp), np.asarray(evals_sc),
+                       rtol=1e-4, atol=1e-6)
+
+    # a criterion keeping the smallest (tiny) eigenvalues triggers the warning
+    fn_all = eigh_dp(model_fn, loss, mesh,
+                     criterion=lambda ev: [0, 1],
+                     warn_small_eigvals=1e-4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fn_all(params, X, y, None)
+    assert any("small" in str(x.message).lower() for x in w)
+
+
 def test_mc_dp_deterministic_across_layouts():
     """MC sampling folds global sample ids — invariant to chip layout."""
     mesh = _mesh()

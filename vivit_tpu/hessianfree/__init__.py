@@ -43,20 +43,33 @@ def _batch_weights(loss: Loss, batch_sizes, n_data: int) -> jnp.ndarray:
     return jnp.ones((len(batch_sizes),), jnp.float32)
 
 
+def _group_by_batch_size(data):
+    """Group ``(X, y)`` pairs by batch size, preserving dataset weights.
+
+    Ragged datasets (unequal final batch, reference
+    vivit/hessianfree/__init__.py:254-277 handles them in its host loop) are
+    supported by stacking each size class separately — one ``lax.scan`` per
+    distinct size, typically two (main size + tail).
+    """
+    groups: dict = {}
+    for X, y in data:
+        groups.setdefault(X.shape[0], []).append((X, y))
+    return groups
+
+
 def _make_operator(model_fn, loss, params, data, product_fn) -> Callable:
     """Jitted dataset-wide curvature-vector product on flat vectors.
 
-    Batches must share a size (stacked for ``lax.scan``); a ragged last batch
-    should be dropped or padded by the caller.
+    Each distinct batch size gets its own ``lax.scan`` (exact ragged-batch
+    handling, no padding); contributions are summed with the reference's
+    dataset normalization.
     """
-    batch_sizes = [X.shape[0] for X, _ in data]
-    if len(set(batch_sizes)) > 1:
-        raise ValueError(
-            f"All batches must have equal size for the scanned operator; "
-            f"got sizes {sorted(set(batch_sizes))}."
-        )
-    Xs, ys = _stack_data(data)
-    weights = _batch_weights(loss, batch_sizes, sum(batch_sizes))
+    n_data = sum(X.shape[0] for X, _ in data)
+    scans = []
+    for size, group in _group_by_batch_size(data).items():
+        Xs, ys = _stack_data(group)
+        weights = _batch_weights(loss, [size] * len(group), n_data)
+        scans.append((Xs, ys, weights))
 
     @jax.jit
     def matvec(flat_v: jnp.ndarray) -> jnp.ndarray:
@@ -67,8 +80,9 @@ def _make_operator(model_fn, loss, params, data, product_fn) -> Callable:
             gv = product_fn(model_fn, loss, params, X, y, v)
             return jax.tree_util.tree_map(lambda a, b: a + w * b, acc, gv), None
 
-        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
-        acc, _ = jax.lax.scan(body, zero, (Xs, ys, weights))
+        acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+        for Xs, ys, weights in scans:
+            acc, _ = jax.lax.scan(body, acc, (Xs, ys, weights))
         return ravel(acc)
 
     return matvec
@@ -89,9 +103,12 @@ def gradient_and_loss(model_fn, loss: Loss, params: Any, data):
 
     Reference: vivit/hessianfree/__init__.py:233-252.
     """
-    Xs, ys = _stack_data(data)
-    weights = _batch_weights(loss, [X.shape[0] for X, _ in data],
-                             sum(X.shape[0] for X, _ in data))
+    n_data = sum(X.shape[0] for X, _ in data)
+    scans = []
+    for size, group in _group_by_batch_size(data).items():
+        Xs, ys = _stack_data(group)
+        weights = _batch_weights(loss, [size] * len(group), n_data)
+        scans.append((Xs, ys, weights))
 
     @jax.jit
     def run(params):
@@ -104,9 +121,10 @@ def gradient_and_loss(model_fn, loss: Loss, params: Any, data):
                 loss_acc + w * l,
             ), None
 
-        zero = (jax.tree_util.tree_map(jnp.zeros_like, params), jnp.zeros(()))
-        (g, l), _ = jax.lax.scan(body, zero, (Xs, ys, weights))
-        return g, l
+        acc = (jax.tree_util.tree_map(jnp.zeros_like, params), jnp.zeros(()))
+        for Xs, ys, weights in scans:
+            acc, _ = jax.lax.scan(body, acc, (Xs, ys, weights))
+        return acc
 
     return run(params)
 

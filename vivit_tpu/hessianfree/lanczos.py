@@ -96,11 +96,17 @@ def fast_lanczos_jax(
     return jnp.linalg.eigh(T)
 
 
+def _as_scipy(A):
+    """Accept this library's operator wrappers directly in ARPACK entry
+    points — no ``.as_scipy()`` needed (they expose one)."""
+    return A.as_scipy() if hasattr(A, "as_scipy") else A
+
+
 def approximate_boundaries(A, tol: float = 1e-2) -> Tuple[float, float]:
     """Estimate λ_min(A) and λ_max(A) via ARPACK (reference :65-79)."""
     from scipy.sparse.linalg import eigsh
 
-    eval_min, eval_max = eigsh(A, k=2, which="BE", tol=tol,
+    eval_min, eval_max = eigsh(_as_scipy(A), k=2, which="BE", tol=tol,
                                return_eigenvectors=False)
     return eval_min, eval_max
 
@@ -109,6 +115,7 @@ def approximate_boundaries_abs(A, tol: float = 1e-2) -> Tuple[float, float]:
     """Estimate λ_min(|A|), λ_max(|A|) via ARPACK (reference :82-99)."""
     from scipy.sparse.linalg import eigsh
 
+    A = _as_scipy(A)
     (eval_max,) = eigsh(A, k=1, which="LM", tol=tol, return_eigenvectors=False)
     (eval_min,) = eigsh(A, k=1, which="SM", tol=tol, return_eigenvectors=False)
     return abs(eval_min), abs(eval_max)
