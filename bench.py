@@ -36,6 +36,21 @@ def _synthetic_batch(n):
     return X, y
 
 
+def _time_fetch(fn, args, repeats):
+    """Median wall-clock of ``np.asarray(fn(*args))`` after a warmup call.
+
+    On the tunneled axon platform ``block_until_ready()`` does not block, so
+    a device→host fetch of the (tiny) result is the completion barrier.
+    """
+    out = np.asarray(fn(*args))  # compile + fetch
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = np.asarray(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1000), out
+
+
 def measure_vivit_tpu(n, repeats):
     import jax
 
@@ -67,17 +82,50 @@ def measure_vivit_tpu(n, repeats):
             precision="highest", gram_precision="bf16",
         )[0]
     )
-    params = variables
-    evals = np.asarray(fn(params, X, y))  # compile + fetch
-    # Time with a forced device→host fetch of the (tiny) eigenvalue vector:
-    # on the tunneled axon platform block_until_ready() does not block, so
-    # the fetch is the only reliable completion barrier.
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        evals = np.asarray(fn(params, X, y))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1000), evals
+    ms, evals = _time_fetch(fn, (variables, X, y), repeats)
+    return ms, evals
+
+
+def measure_secondary(repeats):
+    """Secondary figures: full damped-Newton step (N=128, k=10) and the
+    N=512 eigvalsh datapoint (Gram 5120²) — both on the structured path."""
+    import jax
+    import jax.numpy as jnp
+
+    import vivit_tpu as vt
+    from vivit_tpu.models import CNN3c3d
+    from vivit_tpu.structured import eigvalsh_structured, newton_step_structured
+
+    module = CNN3c3d(NUM_CLASSES)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.ones((1, 32, 32, 3), jnp.float32))
+    loss = vt.CrossEntropyLoss("mean")
+    out = {}
+
+    X_np, y_np = _synthetic_batch(128)
+    X, y = jnp.asarray(X_np), jnp.asarray(y_np)
+    newton = jax.jit(
+        lambda v, X, y: newton_step_structured(
+            module, v, loss, X, y, k=10, damping=1.0,
+            precision="highest", gram_precision="bf16", solver="lobpcg",
+        )[-1]  # fetch one (small) leaf as the completion barrier
+    )
+    out["newton_step_k10_cifar10_3c3d_n128"], _ = _time_fetch(
+        newton, (variables, X, y), repeats
+    )
+
+    X_np, y_np = _synthetic_batch(512)
+    X, y = jnp.asarray(X_np), jnp.asarray(y_np)
+    big = jax.jit(
+        lambda v, X, y: eigvalsh_structured(
+            module, v, loss, X, y,
+            precision="highest", gram_precision="bf16",
+        )[0]
+    )
+    out["gram_build_eigh_cifar10_3c3d_n512"], _ = _time_fetch(
+        big, (variables, X, y), max(3, repeats // 3)
+    )
+    return out
 
 
 def _torch_model():
@@ -188,9 +236,20 @@ def main():
     ap.add_argument("--repeats", type=int, default=10)
     ap.add_argument("--refresh-baseline", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--skip-secondary", action="store_true")
     args = ap.parse_args()
 
     ours_ms, evals = measure_vivit_tpu(args.batch, args.repeats)
+
+    extras = {}
+    if not args.skip_secondary:
+        try:
+            extras = measure_secondary(args.repeats)
+            for metric, ms in extras.items():
+                print(json.dumps({"metric": metric, "value": round(ms, 3),
+                                  "unit": "ms", "vs_baseline": 0.0}))
+        except Exception as e:
+            print(f"# secondary measurement failed: {e}", flush=True)
 
     baseline_ms = None
     cache_key = f"torch_cpu_n{args.batch}"
@@ -238,16 +297,15 @@ def main():
             baseline_ms = cache[cache_key]["ms"]
 
     vs_baseline = (baseline_ms / ours_ms) if baseline_ms else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "gram_build_eigh_wallclock_per_step_cifar10_3c3d_exact_ggn",
-                "value": round(ours_ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
-    )
+    line = {
+        "metric": "gram_build_eigh_wallclock_per_step_cifar10_3c3d_exact_ggn",
+        "value": round(ours_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    if extras:  # secondary figures ride the headline line too
+        line["extras"] = {k: round(v, 3) for k, v in extras.items()}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,75 @@
+"""Streamed (memory-mode) Gram == the vmapped engine, bit-for-tolerance.
+
+The streaming path (vivit_tpu/chunked.py) trades ~CF/2× recompute for O(2/CF)
+peak memory; its Gram and eigenvalues must match the standard pipeline
+exactly (same scaling, same c-major layout).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+from tests.implementation.cases import PROBLEMS
+from vivit_tpu.chunked import eigvalsh_streamed, gram_streamed
+from vivit_tpu.ggn import ggn_sqrt_vt
+from vivit_tpu.gram import gram_matrix
+
+CASES = [p for p in PROBLEMS if p.name in
+         ("mlp_CrossEntropyLoss_mean", "mlp_MSELoss_sum", "cnn_ce_mean")]
+
+
+@pytest.mark.parametrize("subsampling", [None, [2, 0]], ids=str)
+@pytest.mark.parametrize("problem", CASES, ids=[p.name for p in CASES])
+def test_gram_streamed_matches_vmapped(problem, subsampling):
+    vt_full = ggn_sqrt_vt(problem.model_fn, problem.loss, problem.params,
+                          problem.X, problem.y, subsampling=subsampling)
+    want = np.asarray(gram_matrix(vt_full))
+    got = np.asarray(
+        gram_streamed(problem.model_fn, problem.loss, problem.params,
+                      problem.X, problem.y, subsampling=subsampling)
+    )
+    assert got.shape == want.shape
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_gram_streamed_mc_matches_vmapped():
+    problem = CASES[0]
+    key = jax.random.PRNGKey(3)
+    vt_full = ggn_sqrt_vt(problem.model_fn, problem.loss, problem.params,
+                          problem.X, problem.y, mc_samples=3, key=key)
+    want = np.asarray(gram_matrix(vt_full))
+    got = np.asarray(
+        gram_streamed(problem.model_fn, problem.loss, problem.params,
+                      problem.X, problem.y, mc_samples=3, key=key)
+    )
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_eigvalsh_streamed_matches_standard():
+    problem = CASES[2]
+    (want,) = vt.EigvalshComputation(problem.model_fn, problem.loss).compute(
+        problem.params, problem.X, problem.y
+    )
+    (got,) = jax.jit(
+        lambda p, X, y: eigvalsh_streamed(problem.model_fn, problem.loss,
+                                          p, X, y)
+    )(problem.params, problem.X, problem.y)
+    assert np.allclose(np.sort(np.asarray(got)), np.sort(np.asarray(want)),
+                       rtol=1e-4, atol=5e-6)
+
+
+def test_eigvalsh_streamed_group_paths():
+    problem = CASES[0]
+    kernels = [p for p in problem.paths if p.endswith("kernel")]
+    rest = [p for p in problem.paths if not p.endswith("kernel")]
+    groups = [kernels, rest]
+    comp = vt.EigvalshComputation(problem.model_fn, problem.loss)
+    want = comp.compute(problem.params, problem.X, problem.y,
+                        param_groups=[{"params": g} for g in groups])
+    got = eigvalsh_streamed(problem.model_fn, problem.loss, problem.params,
+                            problem.X, problem.y, group_paths=groups)
+    for g, w in zip(got, want):
+        assert np.allclose(np.sort(np.asarray(g)), np.sort(np.asarray(w)),
+                           rtol=1e-4, atol=5e-6)

@@ -21,6 +21,7 @@ and the standalone Gram primitives (:mod:`vivit_tpu.extensions`).
 """
 
 from vivit_tpu import extensions, hessianfree, losses, structured
+from vivit_tpu.chunked import eigvalsh_streamed, gram_streamed
 from vivit_tpu.ggn import (
     batch_grad,
     ggn_mat_prod,
@@ -66,6 +67,8 @@ __all__ = [
     "hessianfree",
     "structured",
     "ggn_sqrt_vt",
+    "gram_streamed",
+    "eigvalsh_streamed",
     "batch_grad",
     "ggn_vector_product",
     "hessian_vector_product",

@@ -1,0 +1,162 @@
+"""Memory-frugal Gram assembly: factor-axis streaming of the generic ``Vᵀ``.
+
+The generic exact-GGN ``Vᵀ`` is ``[CF, S, D]`` — for CIFAR-10 3c3d at
+``N = 512`` that is ~18 GB, beyond one chip's HBM.  The reference's remedy is
+incremental savefield freeing during the hook backward
+(vivit/utils/__init__.py:8-19); the TPU-native equivalent here streams the
+*factor* (class) axis: at most **two** single-factor slices ``[S, D]`` are
+ever alive, and Gram blocks ``G[(i,·),(j,·)] = V_iᵀ V_j`` are contracted and
+scattered as they appear.
+
+Cost model: each factor pair ``(i, j ≤ i)`` needs both slices resident; with
+two live slices that is ``CF + CF·(CF+1)/2`` backward passes instead of the
+vmapped engine's ``CF`` — an explicit ~``CF/2``× compute-for-memory trade
+(the i-slice is computed once per row, the j-slice recomputed inside a
+``lax.scan`` whose ``lax.cond`` skips ``j > i``).  Use it when ``Vᵀ`` does
+not fit; use :func:`vivit_tpu.ggn.ggn_sqrt_vt` otherwise.
+"""
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from vivit_tpu.ggn import _subsample, loss_hessian_sqrt
+from vivit_tpu.losses import Loss
+from vivit_tpu.utils.checks import check_subsampling_unique
+from vivit_tpu.utils.tree import select_paths
+
+
+def _vt_single_factor(model_fn, params, Xs, s_rows):
+    """``Vᵀ`` slice of one factor column: ``{leaf: [S, *shape]}``.
+
+    ``s_rows``: ``[S, C]`` loss-Hessian sqrt rows for this factor.
+    """
+
+    def vt_column(x_n, s_row):
+        _, vjp_fn = jax.vjp(lambda p: model_fn(p, x_n[None])[0], params)
+        return vjp_fn(s_row)[0]
+
+    return jax.vmap(vt_column)(Xs, s_rows)
+
+
+def _pair_block(vt_i, vt_j, paths, precision=None):
+    """``[S, S]`` Gram block ``V_iᵀ V_j`` summed over the selected leaves."""
+    total = None
+    for (_, a), (_, b) in zip(select_paths(vt_i, paths),
+                              select_paths(vt_j, paths)):
+        fa = jnp.reshape(a, (a.shape[0], -1))
+        fb = jnp.reshape(b, (b.shape[0], -1))
+        g = jnp.dot(fa, fb.T, preferred_element_type=jnp.float32,
+                    precision=precision)
+        total = g if total is None else total + g
+    return total
+
+
+def gram_streamed(
+    model_fn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    paths: Optional[Sequence[str]] = None,
+    subsampling: Optional[Sequence[int]] = None,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    batch_size: Optional[int] = None,
+    precision=None,
+) -> jnp.ndarray:
+    """``[CF·S, CF·S]`` GGN Gram without materializing the full ``Vᵀ``.
+
+    Matches :func:`vivit_tpu.gram.gram_matrix` ∘
+    :func:`vivit_tpu.ggn.ggn_sqrt_vt` exactly (same scaling conventions,
+    same ``(c, n)`` c-major layout); peak memory is two ``[S, D]`` factor
+    slices instead of ``[CF, S, D]``.
+    """
+    check_subsampling_unique(subsampling)
+    if paths is None:
+        from vivit_tpu.utils.tree import leaf_paths
+
+        paths = tuple(leaf_paths(params))
+    N = batch_size if batch_size is not None else X.shape[0]
+    sample_ids = (
+        jnp.asarray(subsampling) if subsampling is not None
+        else jnp.arange(X.shape[0])
+    )
+    Xs, ys = _subsample(X, y, subsampling)
+    S = Xs.shape[0]
+
+    f = model_fn(params, Xs)
+    factors = loss_hessian_sqrt(
+        loss, f, ys, mc_samples=mc_samples, key=key, sample_ids=sample_ids
+    )  # [S, CF, C]
+    factors = factors * jnp.sqrt(
+        jnp.asarray(loss.rho(N) * N / S, dtype=factors.dtype)
+    )
+    cf = factors.shape[1]
+
+    gram = jnp.zeros((cf * S, cf * S), jnp.float32)
+    zero_block = jnp.zeros((S, S), jnp.float32)
+
+    for i in range(cf):  # unrolled: cf is small (classes / MC samples)
+        vt_i = _vt_single_factor(model_fn, params, Xs, factors[:, i])
+
+        def j_step(g, j, vt_i=vt_i, i=i):
+            def compute(_):
+                vt_j = _vt_single_factor(model_fn, params, Xs, factors[:, j])
+                return _pair_block(vt_i, vt_j, paths, precision)
+
+            block = jax.lax.cond(j <= i, compute,
+                                 lambda _: zero_block, None)
+            g = jax.lax.dynamic_update_slice(g, block, (i * S, j * S))
+            g = jax.lax.cond(
+                j < i,
+                lambda gg: jax.lax.dynamic_update_slice(
+                    gg, block.T, (j * S, i * S)
+                ),
+                lambda gg: gg,
+                g,
+            )
+            return g, None
+
+        gram, _ = jax.lax.scan(j_step, gram, jnp.arange(cf))
+    return gram
+
+
+def eigvalsh_streamed(
+    model_fn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    group_paths: Optional[Sequence[Sequence[str]]] = None,
+    subsampling: Optional[Sequence[int]] = None,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    precision: str = "highest",
+    gram_precision: Optional[str] = None,
+):
+    """Generic-path GGN eigenvalues in streaming memory mode.
+
+    Same semantics as :func:`vivit_tpu.linalg.eigvalsh` for batches whose
+    full ``Vᵀ`` exceeds HBM (e.g. 3c3d at ``N = 512``, ~18 GB).
+    """
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+    from vivit_tpu.utils.tree import leaf_paths
+
+    if group_paths is None:
+        group_paths = (tuple(leaf_paths(params)),)
+    with jax.default_matmul_precision(precision):
+        return tuple(
+            jnp.linalg.eigvalsh(
+                gram_streamed(
+                    model_fn, loss, params, X, y,
+                    paths=tuple(paths), subsampling=subsampling,
+                    mc_samples=mc_samples, key=key,
+                    precision=_PRECISIONS[gram_precision],
+                )
+            )
+            for paths in group_paths
+        )

@@ -64,8 +64,21 @@ class Loss:
         Returns:
             ``[C, C]`` matrix (rows are the factor vectors).
         """
-        # Generic fallback: eigendecompose the per-sample loss Hessian.  The
-        # registered losses override this with cheap analytic expressions.
+        # Generic fallback: eigendecompose the per-sample loss Hessian —
+        # O(C³) per sample (O(N·C³) under vmap).  The registered losses
+        # override this with cheap analytic expressions; warn when C is
+        # large enough for the fallback to dominate the pipeline.
+        c = f_n.shape[-1]
+        if c > 128:
+            import warnings
+
+            warnings.warn(
+                f"Generic sqrt_hessian eigendecomposes a [{c}, {c}] "
+                f"per-sample loss Hessian under vmap — O(N·C³). For large "
+                f"output dimensions provide an analytic factorization "
+                f"(override sqrt_hessian) or use MC sampling.",
+                stacklevel=2,
+            )
         hess = jax.hessian(lambda f: self.per_sample(f[None], y_n[None])[0])(f_n)
         evals, evecs = jnp.linalg.eigh(hess)
         evals = jnp.clip(evals, 0.0, None)  # PSD projection for convex losses
