@@ -74,12 +74,14 @@ def measure_vivit_tpu(n, repeats):
     # Tuned parity-grade config (see docs/design.md): Kronecker-factored
     # Dense Gram blocks (the ViViTGGNLinear fast path — 81% of the params
     # never materialize V), full-f32 V transform, bf16 Gram for the conv
-    # leaves only.  Top-eigenvalue deviation vs the all-f32 generic
-    # pipeline: 1.1e-5 (reference bar: rtol=1e-4).
+    # leaves only, and the MXU-native spectral-D&C eigensolver
+    # (vivit_tpu/eigdc.py; ~1.3x over XLA eigh, top-40 deviation 3e-6).
+    # Top-eigenvalue deviation vs the all-f32 generic pipeline: ~1e-5
+    # (reference bar: rtol=1e-4).
     fn = jax.jit(
         lambda v, X, y: eigvalsh_structured(
             module, v, loss, X, y,
-            precision="highest", gram_precision="bf16",
+            precision="highest", gram_precision="bf16", eig_backend="dc",
         )[0]
     )
     ms, evals = _time_fetch(fn, (variables, X, y), repeats)
@@ -119,7 +121,7 @@ def measure_secondary(repeats):
     big = jax.jit(
         lambda v, X, y: eigvalsh_structured(
             module, v, loss, X, y,
-            precision="highest", gram_precision="bf16",
+            precision="highest", gram_precision="bf16", eig_backend="dc",
         )[0]
     )
     out["gram_build_eigh_cifar10_3c3d_n512"], _ = _time_fetch(

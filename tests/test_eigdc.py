@@ -1,0 +1,111 @@
+"""Spectral-D&C eigensolver parity vs the stock XLA eigensolver.
+
+The solver (vivit_tpu/eigdc.py) targets GGN Gram spectra; the validated
+envelope is documented in its module docstring.  These tests exercise the
+full static machinery (de-skew, KPM splits, zoom chain, polish) at a size
+with a real tree (n=512) against float64 oracles, plus the Pallas batched
+Jacobi kernel in interpreter mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vivit_tpu.eigdc import eigh_dc, eigvalsh_dc
+
+N = 512
+RTOL, ATOL = 1e-4, 5e-6
+
+
+def _spectrum_matrix(lam, seed=0):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((len(lam), len(lam))))
+    return ((Q * lam) @ Q.T).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def solver():
+    return jax.jit(eigvalsh_dc)
+
+
+SPECTRA = {
+    "ggn-like": np.exp(-np.linspace(0, 11, N)) * 250.0 + 1e-7,
+    "exp-decay": np.exp(-np.arange(N) / 40.0) + 1e-9,
+    "clustered": np.repeat(np.exp(-np.arange(N // 8) / 10.0), 8),
+    "flat": np.linspace(0.1, 5.0, N),
+}
+
+
+@pytest.mark.parametrize("name", list(SPECTRA), ids=list(SPECTRA))
+def test_eigvalsh_dc_parity(solver, name):
+    A = _spectrum_matrix(SPECTRA[name])
+    ref = np.linalg.eigvalsh(A.astype(np.float64))
+    ev = np.sort(np.asarray(solver(jnp.asarray(A))))
+    err = np.abs(ev - ref)
+    tol = ATOL * max(1.0, abs(ref[-1])) + RTOL * np.abs(ref)
+    if name == "clustered":
+        # documented envelope (eigdc module docstring): heavily-degenerate
+        # clusters at n~512 — ≤10% of members, ≤10% relative error each
+        assert (err > tol).mean() <= 0.10, int((err > tol).sum())
+        assert err.max() <= 1e-2 * abs(ref[-1])
+        assert np.allclose(ev, ref, rtol=1e-1, atol=1e-4 * abs(ref[-1]))
+        return
+    assert (err <= tol).all(), (
+        f"{name}: {int((err > tol).sum())}/{N} violations, "
+        f"max {err.max():.2e}"
+    )
+
+
+def test_eigh_dc_eigenvector_properties():
+    """Top-k eigenpairs satisfy ``A v = λ v`` and near-orthonormality."""
+    A = _spectrum_matrix(SPECTRA["ggn-like"], seed=3)
+    ev, V = jax.jit(lambda H: eigh_dc(H))(jnp.asarray(A))
+    ev, V = np.asarray(ev), np.asarray(V)
+    k = 24
+    lam = ev[-k:]
+    Vk = V[:, -k:]
+    res = np.linalg.norm(A @ Vk - Vk * lam[None, :], axis=0)
+    assert np.all(res <= 5e-4 * abs(ev[-1]) + 1e-6), res.max()
+    gram = Vk.T @ Vk
+    assert np.abs(gram - np.eye(k)).max() < 5e-3
+
+
+def test_small_matrix_falls_back_to_xla():
+    A = _spectrum_matrix(np.linspace(0.5, 2.0, 64))
+    ev = np.asarray(eigvalsh_dc(jnp.asarray(A)))
+    ref = np.linalg.eigvalsh(A.astype(np.float64))
+    assert np.allclose(np.sort(ev), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_jacobi_kernel_interpret():
+    """The batched odd-even Jacobi kernel (interpreter mode on CPU)."""
+    from vivit_tpu.kernels.jacobi_pallas import batched_eigh_jacobi
+
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(5, 32, 32)).astype(np.float32)
+    A = (A + A.transpose(0, 2, 1)) / 2
+    ev, V = batched_eigh_jacobi(jnp.asarray(A))
+    ev, V = np.asarray(ev), np.asarray(V)
+    ref = np.linalg.eigvalsh(A.astype(np.float64))
+    assert np.abs(np.sort(ev, -1) - ref).max() < 1e-4
+    for i in range(5):
+        res = np.linalg.norm(A[i] @ V[i] - V[i] * ev[i][None, :])
+        assert res < 1e-3
+        assert np.abs(V[i].T @ V[i] - np.eye(32)).max() < 1e-4
+
+
+def test_eigvalsh_backend_dispatch():
+    """The pipeline-level eig_backend knob reaches the D&C solver."""
+    import vivit_tpu as vt
+    from tests.implementation.cases import PROBLEMS
+
+    p = PROBLEMS[0]
+    # tiny problem → dc falls back to XLA internally; the dispatch path and
+    # result format must still match the default backend exactly
+    want = vt.eigvalsh(p.model_fn, p.loss, p.params, p.X, p.y,
+                       group_paths=(tuple(p.paths),))
+    got = vt.eigvalsh(p.model_fn, p.loss, p.params, p.X, p.y,
+                      group_paths=(tuple(p.paths),), eig_backend="dc")
+    assert np.allclose(np.asarray(got[0]), np.asarray(want[0]),
+                       rtol=1e-5, atol=1e-6)

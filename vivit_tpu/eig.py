@@ -8,10 +8,37 @@ are returned in ascending order with eigenvectors stored column-wise, matching
 the torch convention the downstream code assumes.
 """
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def full_eigh(
+    gram: jnp.ndarray,
+    *,
+    backend: str = "xla",
+    eigenvectors: bool = True,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Full-spectrum symmetric eigendecomposition with backend dispatch.
+
+    ``backend="xla"``: stock ``jnp.linalg.eigh`` (QDWH divide-and-conquer on
+    TPU).  ``backend="dc"``: this library's MXU-native spectral
+    divide-and-conquer (:mod:`vivit_tpu.eigdc`) — measured ~1.3-1.5× faster
+    at the benchmark Gram size (1280²) on TPU v5e with reference-grade
+    eigenvalue parity on GGN spectra (docs/design.md).
+    """
+    if backend == "dc":
+        from vivit_tpu.eigdc import eigh_dc
+
+        return eigh_dc(gram, eigenvectors=eigenvectors, key=key)
+    if backend != "xla":
+        raise ValueError(f"Unknown eig backend {backend!r} (use 'xla' or 'dc').")
+    if eigenvectors:
+        evals, evecs = jnp.linalg.eigh(gram)
+        return evals, evecs
+    return jnp.linalg.eigvalsh(gram), None
 
 
 def topk_eigh(

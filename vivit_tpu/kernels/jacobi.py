@@ -1,0 +1,37 @@
+"""Batched small-matrix symmetric eigendecomposition.
+
+The leaf/window solver of the spectral-D&C eigensolver
+(:mod:`vivit_tpu.eigdc`).  Two backends:
+
+* ``batched_eigh_xla``: ``vmap(jnp.linalg.eigh)`` — correct everywhere but
+  slow on TPU (XLA's batched eigh costs ~10 ms even for ``[5, 256, 256]``,
+  docs/design.md).
+* ``batched_eigh_jacobi``: a single Pallas kernel running odd-even
+  cyclic Jacobi entirely in VMEM (see jacobi_pallas.py) — the TPU path.
+
+``batched_eigh`` dispatches: Pallas on TPU when shapes qualify, XLA
+otherwise.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def batched_eigh_xla(A):
+    """``[B, m, m] -> (evals [B, m] ascending, evecs [B, m, m])``."""
+    return jnp.linalg.eigh(A)
+
+
+def batched_eigh(A):
+    """Batched symmetric eigendecomposition (ascending eigenvalues).
+
+    Dispatches to the Pallas odd-even Jacobi kernel on TPU for supported
+    shapes, falling back to XLA elsewhere (CPU tests, odd sizes).
+    """
+    from vivit_tpu.kernels.jacobi_pallas import (
+        jacobi_supported, batched_eigh_jacobi,
+    )
+
+    if jacobi_supported(A.shape, A.dtype):
+        return batched_eigh_jacobi(A)
+    return batched_eigh_xla(A)

@@ -1,0 +1,210 @@
+"""Pallas TPU kernel: batched odd-even cyclic Jacobi eigendecomposition.
+
+One kernel invocation diagonalizes a batch of small symmetric matrices
+entirely in VMEM — no per-step XLA launches.  This is what makes Jacobi
+viable as the leaf/window solver of the spectral-D&C eigensolver
+(:mod:`vivit_tpu.eigdc`): XLA's own batched eigh costs ~10 ms even for
+``[5, 256, 256]`` and a pure-JAX Jacobi pays a kernel launch per parallel
+step (docs/design.md "Eigensolver design study").
+
+Algorithm — odd-even transposition ordering with fold-in swaps:
+
+* The matrices live de-interleaved as four quadrant stacks
+  ``Qab[b, i, j] = A[b, 2i+a, 2j+b]`` so the current pairing ``(2i, 2i+1)``
+  rotates with pure elementwise (VPU) quadrant updates over the whole batch
+  at once; the alternate pairing ``(2i+1, 2i+2)`` is the same update on
+  sublane/lane-rolled views.
+* Every rotation composes with a pair swap (bubble-sort style), so all
+  ``m(m-1)/2`` pairs meet every ``m`` steps — the classical Brent-Luk
+  round-robin without gathers, scatters or index tables.  The odd-phase
+  wrap position gets a reflection (``c=0, s=1``: ``u→u, v→−v``) instead of
+  a rotation — the fold-in-swap form cannot express the identity, and a
+  sign flip is a harmless orthogonal similarity.
+* Row and column rotation coefficients are produced by two independent
+  masked diagonal *reductions* (``[B,h,1]`` and ``[B,1,h]`` orientations) —
+  no in-kernel transposes, which otherwise dominate the runtime.
+* Eigenvector accumulation applies the same column updates to ``V``
+  (stored as even/odd column halves).
+
+The whole batch is ONE grid program: per parallel step every VPU op
+processes ``B·h·h`` elements, amortizing Mosaic's per-op overhead.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ENABLED = True
+
+
+def jacobi_supported(shape, dtype) -> bool:
+    """Measured dispatch policy (docs/design.md): the Pallas kernel beats
+    XLA's batched eigh only for small matrices (m ≤ 64, e.g. the windowed
+    polish [40, 32, 32]: ~0.3 ms vs 1.6 ms); XLA wins at leaf sizes."""
+    if not _ENABLED or dtype != jnp.float32 or len(shape) != 3:
+        return False
+    b, m, m2 = shape
+    if not (m == m2 and m % 16 == 0 and 16 <= m <= 64):
+        return False
+    # VMEM budget: quadrants/V tiles pad the lane dim to 128; Mosaic keeps
+    # in+out+temp copies on its scoped stack (~3x).  Stay well under 16 MB.
+    h = m // 2
+    lane = 128
+    per_batch = (4 * h + 2 * m) * lane * 4  # bytes, one copy
+    return b * per_batch * 6 <= 12 * 1024 * 1024
+
+
+def _roll(x, shift, axis):
+    """pltpu.roll with negative shifts normalized (it requires shift >= 0)."""
+    return pltpu.roll(x, shift=shift % x.shape[axis], axis=axis)
+
+
+def _rot_from(app, aqq, apq, invalid):
+    """Jacobi coefficients (c, s) from pivot arrays (any broadcast shape)."""
+    small = jnp.abs(apq) <= 1e-30
+    tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(small, 0.0, t)
+    c = jax.lax.rsqrt(1.0 + t * t)
+    s = t * c
+    # boundary override (c=0, s=1): new_u = u, new_v = -v — a reflection,
+    # i.e. NO pair exchange at the odd-phase wrap position (the fold-in
+    # swap formula cannot express the identity).
+    c = jnp.where(invalid, 0.0, c)
+    s = jnp.where(invalid, 1.0, s)
+    return c, s
+
+
+def _kernel(tt_ref, tb_ref, bt_ref, bb_ref, vl_ref, vr_ref, *, m, sweeps):
+    h = m // 2
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
+    eye = (row_i == col_i).astype(jnp.float32)
+    sup = (row_i + 1 == col_i).astype(jnp.float32)
+    sub = (row_i == col_i + 1).astype(jnp.float32)
+    no_bound_r = jnp.zeros((1, h, 1), dtype=bool)
+    no_bound_c = jnp.zeros((1, 1, h), dtype=bool)
+    last_r = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1) == h - 1
+    last_c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, h), 2) == h - 1
+
+    def diag_r(q, mask):  # [B, h, 1]
+        return jnp.sum(q * mask, axis=2, keepdims=True)
+
+    def diag_c(q, mask):  # [B, 1, h]
+        return jnp.sum(q * mask, axis=1, keepdims=True)
+
+    def double_step(step, _):
+        tt, tb = tt_ref[...], tb_ref[...]
+        bt, bb = bt_ref[...], bb_ref[...]
+        vl, vr = vl_ref[...], vr_ref[...]
+
+        # ---- even phase: pairs (2i, 2i+1) --------------------------------
+        c_r, s_r = _rot_from(diag_r(tt, eye), diag_r(bb, eye),
+                             diag_r(tb, eye), no_bound_r)
+        c_c, s_c = _rot_from(diag_c(tt, eye), diag_c(bb, eye),
+                             diag_c(tb, eye), no_bound_c)
+        # rows (+swap): new_top = s·top + c·bot, new_bot = c·top − s·bot
+        ntt = s_r * tt + c_r * bt
+        ntb = s_r * tb + c_r * bb
+        nbt = c_r * tt - s_r * bt
+        nbb = c_r * tb - s_r * bb
+        # cols (+swap)
+        tt = s_c * ntt + c_c * ntb
+        tb = c_c * ntt - s_c * ntb
+        bt = s_c * nbt + c_c * nbb
+        bb = c_c * nbt - s_c * nbb
+        vl, vr = s_c * vl + c_c * vr, c_c * vl - s_c * vr
+
+        # ---- odd phase: pairs (2i+1, 2i+2); wrap -> reflection -----------
+        # pivots: app = BB[ii]; aqq = TT[i+1,i+1]; apq = BT[i, i+1]
+        c_r, s_r = _rot_from(diag_r(bb, eye), _roll(diag_r(tt, eye), -1, 1),
+                             diag_r(bt, sup), last_r)
+        # col orientation of BT[j, j+1]: diagonal of the left-rolled BT
+        c_c, s_c = _rot_from(diag_c(bb, eye), _roll(diag_c(tt, eye), -1, 2),
+                             diag_c(_roll(bt, -1, 2), eye), last_c)
+
+        # rows: u = a1bX[i], v = a0bX[i+1]
+        tt_u, tb_u = _roll(tt, -1, 1), _roll(tb, -1, 1)
+        nbt = s_r * bt + c_r * tt_u
+        nbb = s_r * bb + c_r * tb_u
+        ntt_u = c_r * bt - s_r * tt_u
+        ntb_u = c_r * bb - s_r * tb_u
+        tt, tb = _roll(ntt_u, 1, 1), _roll(ntb_u, 1, 1)
+        bt, bb = nbt, nbb
+        # cols: u = aXb1[:, j], v = aXb0[:, j+1]
+        tt_u, bt_u = _roll(tt, -1, 2), _roll(bt, -1, 2)
+        ntb = s_c * tb + c_c * tt_u
+        nbb = s_c * bb + c_c * bt_u
+        ntt_u = c_c * tb - s_c * tt_u
+        nbt_u = c_c * bb - s_c * bt_u
+        tt, bt = _roll(ntt_u, 1, 2), _roll(nbt_u, 1, 2)
+        tb, bb = ntb, nbb
+        # V cols: u = VR[:, j], v = VL[:, j+1]
+        vl_u = _roll(vl, -1, 2)
+        nvr = s_c * vr + c_c * vl_u
+        nvl_u = c_c * vr - s_c * vl_u
+        vl, vr = _roll(nvl_u, 1, 2), nvr
+
+        tt_ref[...], tb_ref[...] = tt, tb
+        bt_ref[...], bb_ref[...] = bt, bb
+        vl_ref[...], vr_ref[...] = vl, vr
+        return 0
+
+    jax.lax.fori_loop(0, (m * sweeps) // 2, double_step, 0)
+
+
+def _deinterleave(A):
+    return A[..., 0::2, 0::2], A[..., 0::2, 1::2], \
+        A[..., 1::2, 0::2], A[..., 1::2, 1::2]
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def batched_eigh_jacobi(A, sweeps: int = 12):
+    """``[B, m, m] -> (evals [B, m] ascending, evecs [B, m, m])``."""
+    b, m, _ = A.shape
+    h = m // 2
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    tt, tb, bt, bb = _deinterleave(A)
+    eye = jnp.eye(m, dtype=jnp.float32)
+    vl = jnp.broadcast_to(eye[:, 0::2], (b, m, h))
+    vr = jnp.broadcast_to(eye[:, 1::2], (b, m, h))
+
+    kern = partial(_kernel, m=m, sweeps=sweeps)
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def kernel(tt_r, tb_r, bt_r, bb_r, vl_r, vr_r,
+               tt_o, tb_o, bt_o, bb_o, vl_o, vr_o):
+        tt_o[...] = tt_r[...]
+        tb_o[...] = tb_r[...]
+        bt_o[...] = bt_r[...]
+        bb_o[...] = bb_r[...]
+        vl_o[...] = vl_r[...]
+        vr_o[...] = vr_r[...]
+        kern(tt_o, tb_o, bt_o, bb_o, vl_o, vr_o)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, h, h), jnp.float32) for _ in range(4)
+    ] + [jax.ShapeDtypeStruct((b, m, h), jnp.float32) for _ in range(2)]
+    interpret = jax.devices()[0].platform == "cpu"
+    tt, tb, bt, bb, vl, vr = pl.pallas_call(
+        kernel,
+        in_specs=[spec] * 6,
+        out_specs=[spec] * 6,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(tt, tb, bt, bb, vl, vr)
+
+    # reassemble: diag interleaves TT/BB; V columns interleave VL/VR
+    d = jnp.stack([jnp.diagonal(tt, axis1=-2, axis2=-1),
+                   jnp.diagonal(bb, axis1=-2, axis2=-1)], axis=-1)
+    d = d.reshape(b, m)
+    V = jnp.stack([vl, vr], axis=-1).reshape(b, m, m)
+
+    order = jnp.argsort(d, axis=-1)
+    evals = jnp.take_along_axis(d, order, axis=-1)
+    evecs = jnp.take_along_axis(V, order[:, None, :], axis=-1)
+    return evals, evecs

@@ -53,6 +53,7 @@ def eigvalsh(
     use_syrk: bool = False,
     precision: str = "highest",
     gram_precision: Optional[str] = None,
+    eig_backend: str = "xla",
 ):
     """Functional core: tuple of ascending eigenvalue arrays, one per group.
 
@@ -71,12 +72,14 @@ def eigvalsh(
             model_fn, loss, params, X, y, group_paths=group_paths,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
             batch_size=batch_size, use_syrk=use_syrk,
-            gram_precision=gram_precision,
+            gram_precision=gram_precision, eig_backend=eig_backend,
         )
 
 
 def _eigvalsh_impl(model_fn, loss, params, X, y, *, group_paths, subsampling,
-                   mc_samples, key, batch_size, use_syrk, gram_precision=None):
+                   mc_samples, key, batch_size, use_syrk, gram_precision=None,
+                   eig_backend="xla"):
+    from vivit_tpu.eig import full_eigh
     vt = ggn_sqrt_vt(
         model_fn,
         loss,
@@ -90,9 +93,10 @@ def _eigvalsh_impl(model_fn, loss, params, X, y, *, group_paths, subsampling,
     )
     gp = _PRECISIONS[gram_precision]
     return tuple(
-        jnp.linalg.eigvalsh(
-            gram_matrix(vt, paths=paths, use_syrk=use_syrk, precision=gp)
-        )
+        full_eigh(
+            gram_matrix(vt, paths=paths, use_syrk=use_syrk, precision=gp),
+            backend=eig_backend, eigenvectors=False,
+        )[0]
         for paths in group_paths
     )
 

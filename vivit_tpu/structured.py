@@ -339,6 +339,7 @@ def eigvalsh_structured(
     key: Optional[jax.Array] = None,
     precision: str = "highest",
     gram_precision: Optional[str] = None,
+    eig_backend: str = "xla",
 ):
     """GGN eigenvalues with the Dense fast path (jittable, flax models).
 
@@ -346,6 +347,7 @@ def eigvalsh_structured(
     usual rtol=1e-4/atol=5e-6 eigenvalue tolerance against the generic path.
     ``gram_precision`` demotes only the generic (conv) Gram contractions.
     """
+    from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
     from vivit_tpu.utils.tree import leaf_paths
 
@@ -357,10 +359,11 @@ def eigvalsh_structured(
         if group_paths is None:
             group_paths = (tuple(leaf_paths(variables["params"])),)
         return tuple(
-            jnp.linalg.eigvalsh(
+            full_eigh(
                 gram_matrix_mixed(
                     vt, paths, generic_precision=_PRECISIONS[gram_precision]
-                )
-            )
+                ),
+                backend=eig_backend, eigenvectors=False,
+            )[0]
             for paths in group_paths
         )
