@@ -6,7 +6,8 @@ per-parameter einsums with a generated letter alphabet
 (vivit/utils/gram.py:38-55), every contraction here is *flattened to a 2-D
 matmul* ``[CF·S, D_leaf]`` so XLA tiles it straight onto the MXU.  The Gram
 build optionally routes through a Pallas SYRK kernel that exploits symmetry
-(upper-triangle blocks only — see :mod:`vivit_tpu.kernels.syrk`).
+(retired round 2: the Pallas SYRK kernel lost to XLA's fused contraction
+in-pipeline and bf16 Gram precision superseded its win — docs/design.md).
 
 Layout convention (same as the reference): the Gram index is ``(c, n)``
 c-major, i.e. ``flat = c * S + n`` — reference ``reshape_as_square`` of the
@@ -42,35 +43,18 @@ def gram_matrix(
     vt: Any,
     paths: Optional[Sequence[str]] = None,
     precision=DEFAULT_PRECISION,
-    use_syrk: bool = False,
 ) -> jnp.ndarray:
     """Gram matrix ``G̃ = Vᵀ V = Σ_p (Vᵀ)_p (Vᵀ)_pᵀ`` of shape ``[CF·S, CF·S]``.
 
     Equivalent to accumulating the reference's per-parameter ``gram_mat()``
     closures (vivit/extensions/secondorder/vivit/base.py:118-124,
     vivit/linalg/eigvalsh.py:170-183) — but as one batched rank-``D`` update
-    per leaf on the MXU.  ``use_syrk=True`` dispatches the contraction to the
-    Pallas symmetric rank-k kernel (half the FLOPs).
-
-    Accumulation is in float32 regardless of ``vt`` dtype.
+    per leaf on the MXU.  Accumulation is in float32 regardless of ``vt``
+    dtype; ``precision`` selects the MXU pass count (bf16 Gram products
+    average out over the ~10⁶-long contraction, docs/design.md).
     """
     with jax.named_scope("vivit/gram"):
         mats = _leaf_mats(vt, paths)
-        if use_syrk:
-            from vivit_tpu.kernels.syrk import syrk_auto
-
-            syrk_prec = {
-                jax.lax.Precision.HIGHEST: "highest",
-                jax.lax.Precision.HIGH: "high",
-                jax.lax.Precision.DEFAULT: "bf16",
-                "highest": "highest",
-                "high": "high",
-                "bf16": "bf16",
-                None: "highest",
-            }[precision]
-            # one kernel launch over the concatenated [CF·S, D] matrix —
-            # per-leaf launches would pad tiny bias leaves to full tiles
-            return syrk_auto(jnp.concatenate(mats, axis=1), precision=syrk_prec)
         out = None
         for m in mats:
             g = jnp.dot(

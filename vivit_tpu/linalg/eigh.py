@@ -30,20 +30,20 @@ from vivit_tpu.utils.checks import check_subsampling_unique
 
 
 def _gram_eigh_all(model_fn, loss, params, X, y, *, group_paths, subsampling,
-                   mc_samples, key, batch_size=None, use_syrk=False,
+                   mc_samples, key, batch_size=None,
                    precision="highest", gram_precision=None):
     """Stage 1: ``Vᵀ`` plus per-group (evals, evecs) of the Gram matrix."""
     with jax.default_matmul_precision(precision):
         return _gram_eigh_all_impl(
             model_fn, loss, params, X, y, group_paths=group_paths,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
-            batch_size=batch_size, use_syrk=use_syrk,
+            batch_size=batch_size,
             gram_precision=gram_precision,
         )
 
 
 def _gram_eigh_all_impl(model_fn, loss, params, X, y, *, group_paths,
-                        subsampling, mc_samples, key, batch_size, use_syrk,
+                        subsampling, mc_samples, key, batch_size,
                         gram_precision=None):
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
 
@@ -54,7 +54,7 @@ def _gram_eigh_all_impl(model_fn, loss, params, X, y, *, group_paths,
     )
     eigs = tuple(
         jnp.linalg.eigh(
-            gram_matrix(vt, paths=paths, use_syrk=use_syrk,
+            gram_matrix(vt, paths=paths,
                         precision=_PRECISIONS[gram_precision])
         )
         for paths in group_paths
@@ -91,7 +91,6 @@ def eigh_topk(
     mc_samples: int = 0,
     key: Optional[jax.Array] = None,
     batch_size: Optional[int] = None,
-    use_syrk: bool = False,
     precision: str = "highest",
     gram_precision: Optional[str] = None,
     solver: str = "eigh",
@@ -119,7 +118,7 @@ def eigh_topk(
             batch_size=batch_size,
         )
         gram = gram_matrix(
-            vt, paths=paths, use_syrk=use_syrk,
+            vt, paths=paths,
             precision=_PRECISIONS[gram_precision],
         )
         top_evals, top_evecs = topk_eigh(

@@ -50,7 +50,6 @@ def eigvalsh(
     mc_samples: int = 0,
     key: Optional[jax.Array] = None,
     batch_size: Optional[int] = None,
-    use_syrk: bool = False,
     precision: str = "highest",
     gram_precision: Optional[str] = None,
     eig_backend: str = "xla",
@@ -71,13 +70,13 @@ def eigvalsh(
         return _eigvalsh_impl(
             model_fn, loss, params, X, y, group_paths=group_paths,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
-            batch_size=batch_size, use_syrk=use_syrk,
+            batch_size=batch_size,
             gram_precision=gram_precision, eig_backend=eig_backend,
         )
 
 
 def _eigvalsh_impl(model_fn, loss, params, X, y, *, group_paths, subsampling,
-                   mc_samples, key, batch_size, use_syrk, gram_precision=None,
+                   mc_samples, key, batch_size, gram_precision=None,
                    eig_backend="xla"):
     from vivit_tpu.eig import full_eigh
     vt = ggn_sqrt_vt(
@@ -94,7 +93,7 @@ def _eigvalsh_impl(model_fn, loss, params, X, y, *, group_paths, subsampling,
     gp = _PRECISIONS[gram_precision]
     return tuple(
         full_eigh(
-            gram_matrix(vt, paths=paths, use_syrk=use_syrk, precision=gp),
+            gram_matrix(vt, paths=paths, precision=gp),
             backend=eig_backend, eigenvectors=False,
         )[0]
         for paths in group_paths

@@ -76,7 +76,6 @@ def newton_step_topk(
     mc_samples_ggn: int = 0,
     key: Optional[jax.Array] = None,
     batch_size: Optional[int] = None,
-    use_syrk: bool = False,
     precision: str = "highest",
     gram_precision: Optional[str] = None,
     solver: str = "eigh",
@@ -104,8 +103,7 @@ def newton_step_topk(
         mc_samples_ggn=mc_samples_ggn,
         key=key,
         batch_size=batch_size,
-        use_syrk=use_syrk,
-        precision=precision,
+                precision=precision,
         gram_precision=gram_precision,
         compute_eigh=False,
     )

@@ -42,7 +42,6 @@ def derivatives_stage1(
     mc_samples_ggn: int,
     key: Optional[jax.Array],
     batch_size: Optional[int] = None,
-    use_syrk: bool = False,
     precision: str = "highest",
     gram_precision=None,
     compute_eigh: bool = True,
@@ -57,14 +56,14 @@ def derivatives_stage1(
             model_fn, loss, params, X, y, group_paths=group_paths,
             subsampling_grad=subsampling_grad, subsampling_ggn=subsampling_ggn,
             mc_samples_ggn=mc_samples_ggn, key=key, batch_size=batch_size,
-            use_syrk=use_syrk, gram_precision=gram_precision,
+            gram_precision=gram_precision,
             compute_eigh=compute_eigh,
         )
 
 
 def _derivatives_stage1_impl(
     model_fn, loss, params, X, y, *, group_paths, subsampling_grad,
-    subsampling_ggn, mc_samples_ggn, key, batch_size, use_syrk,
+    subsampling_ggn, mc_samples_ggn, key, batch_size,
     gram_precision=None, compute_eigh=True,
 ):
     if loss.reduction != "mean":
@@ -88,7 +87,7 @@ def _derivatives_stage1_impl(
 
     per_group = []
     for paths in group_paths:
-        gram = gram_matrix(vt, paths=paths, use_syrk=use_syrk,
+        gram = gram_matrix(vt, paths=paths,
                            precision=_PRECISIONS[gram_precision])
         if compute_eigh:
             evals, evecs = jnp.linalg.eigh(gram)
