@@ -1,0 +1,62 @@
+"""The MXU-native spectral-D&C eigensolver and the streamed memory mode.
+
+Two round-2 capabilities beyond the reference:
+
+* ``eig_backend="dc"`` routes the NC×NC Gram eigendecomposition through
+  :mod:`vivit_tpu.eigdc` — a from-scratch divide-and-conquer built out of
+  matmuls only (de-skew spectral map, KPM count-balanced sign splits,
+  Davies-Modi/windowed-Jacobi polish).  On TPU v5e it cuts the CIFAR-10
+  3c3d benchmark step from ~117 ms to ~103 ms and the N=512 step by ~23 %
+  (docs/design.md).
+* ``eigvalsh_streamed`` trades ~CF/2× recompute for O(2/CF) peak memory so
+  exact-GGN spectra fit on one chip when the full ``Vᵀ`` would not
+  (3c3d at N=512 needs ~18 GB materialized; the stream keeps two factor
+  slices).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import vivit_tpu as vt
+from vivit_tpu.models import MLP, init_model
+
+N, D_IN, C = 64, 12, 6
+
+rng = np.random.default_rng(0)
+X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+
+model_fn, params = init_model(MLP(features=(48, C)), (D_IN,), seed=0)
+loss = vt.CrossEntropyLoss("mean")
+
+from vivit_tpu.utils.tree import leaf_paths
+
+group = (tuple(leaf_paths(params)),)
+
+# 1) stock XLA eigensolver vs the D&C backend — same spectrum
+(evals_xla,) = vt.eigvalsh(model_fn, loss, params, X, y, group_paths=group)
+(evals_dc,) = vt.eigvalsh(model_fn, loss, params, X, y, group_paths=group,
+                          eig_backend="dc")
+dev = np.max(np.abs(np.sort(np.asarray(evals_dc)) -
+                    np.sort(np.asarray(evals_xla))))
+print(f"dc-vs-xla max eigenvalue deviation: {dev:.2e}")
+assert dev <= 5e-6 + 1e-4 * float(np.max(np.abs(np.asarray(evals_xla))))
+
+# the solver is also available directly on any symmetric PSD matrix
+from vivit_tpu.eigdc import eigh_dc
+
+G = np.asarray(rng.normal(size=(384, 384)), np.float32) / np.sqrt(384)
+A = jnp.asarray(G @ G.T)  # full-rank PSD, continuous Marchenko spectrum
+ev, V = eigh_dc(A)
+resid = jnp.linalg.norm(A @ V[:, -5:] - V[:, -5:] * ev[None, -5:])
+print(f"eigh_dc top-5 residual on a 384² PSD matrix: {float(resid):.2e}")
+
+# 2) streamed memory mode: identical spectrum, O(2/CF) peak memory
+(evals_streamed,) = vt.eigvalsh_streamed(model_fn, loss, params, X, y)
+dev_s = np.max(np.abs(np.sort(np.asarray(evals_streamed)) -
+                      np.sort(np.asarray(evals_xla))))
+print(f"streamed-vs-standard max deviation: {dev_s:.2e}")
+assert dev_s <= 5e-6 + 1e-4 * float(np.max(np.abs(np.asarray(evals_xla))))
+
+print("fast-eigensolver example OK")

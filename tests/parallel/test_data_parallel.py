@@ -340,6 +340,41 @@ def test_eigh_dp_criterion_and_warning():
     assert any("small" in str(x.message).lower() for x in w)
 
 
+def test_eigvalsh_dp_structured_groups_and_subsampling():
+    """Block-diagonal groups and global-index sub-sampling on the structured
+    DP path match the single-chip structured pipeline."""
+    from vivit_tpu.models import MLP
+    from vivit_tpu.parallel import eigvalsh_dp_structured
+    from vivit_tpu.structured import eigvalsh_structured
+    from vivit_tpu.utils.tree import leaf_paths
+
+    mesh = _mesh()
+    module = MLP(features=(6, C))
+    variables = module.init(jax.random.PRNGKey(6),
+                            jnp.ones((1, D_IN), jnp.float32))
+    rng = np.random.default_rng(55)
+    X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+    paths = leaf_paths(variables["params"])
+    kernels = [p for p in paths if p.endswith("kernel")]
+    rest = [p for p in paths if not p.endswith("kernel")]
+    groups = [kernels, rest]
+    sub = [0, 3, 9, 14, 6]
+
+    fn = eigvalsh_dp_structured(module, loss, mesh, group_paths=groups,
+                                subsampling=sub)
+    evals_dp = fn(variables, X, y, None)
+
+    evals_sc = eigvalsh_structured(module, variables, loss, X, y,
+                                   group_paths=groups, subsampling=sub)
+    for dp, sc in zip(evals_dp, evals_sc):
+        dp, sc = np.sort(np.asarray(dp)), np.sort(np.asarray(sc))
+        # DP carries (N - |S|)·CF exact-zero padding rows below the spectrum
+        assert np.allclose(dp[-len(sc):], sc, rtol=1e-4, atol=5e-6)
+        assert np.allclose(dp[: len(dp) - len(sc)], 0.0, atol=1e-6)
+
+
 def test_mc_dp_deterministic_across_layouts():
     """MC sampling folds global sample ids — invariant to chip layout."""
     mesh = _mesh()

@@ -179,6 +179,8 @@ def eigvalsh_dp_structured(
     axis_name: str = DEFAULT_AXIS,
     precision: str = "highest",
     gram_precision: str = None,
+    group_paths: Optional[Sequence[Sequence[str]]] = None,
+    subsampling: Optional[Sequence[int]] = None,
 ) -> Callable:
     """Data-parallel eigenvalues with the Dense fast path (flax models).
 
@@ -188,11 +190,17 @@ def eigvalsh_dp_structured(
     all_to_all + psum pipeline.  Column order is ``(device, cf, n_local)`` on
     both parts — consistent with :func:`eigvalsh_dp`.
 
+    ``group_paths`` (block-diagonal protocol) makes the result a tuple of
+    eigenvalue vectors; ``subsampling`` takes *global* sample indices with
+    the same zero-masked-column semantics as :func:`eigvalsh_dp` (leaf paths
+    here are relative to ``variables["params"]``).
+
     ``fn(variables, X, y, key) -> evals`` (global batch sharded over the mesh).
     """
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
     from vivit_tpu.structured import DenseFactor, structured_ggn_sqrt_vt
 
+    check_subsampling_unique(subsampling)
     gp = _PRECISIONS[gram_precision]
 
     def per_shard(variables, X_l, y_l, key):
@@ -210,12 +218,36 @@ def eigvalsh_dp_structured(
             )
             # structured_ggn_sqrt_vt used the *local* scale √(1/n_local);
             # rescale columns to the global √ρ(n_global) convention
-            # (√(ρ_g)/√(ρ_l); for mean reduction = √(n_local/n_global))
+            # (√(ρ_g)/√(ρ_l); for mean reduction = √(n_local/n_global)),
+            # plus the sub-sampling estimate rescale √(N/|S|)
             rescale = jnp.sqrt(
                 jnp.asarray(loss.rho(n_global) / loss.rho(n_local) * 1.0)
             )
-            gram = _structured_gram_dp(vt, rescale, axis_name, gp)
-            return jnp.linalg.eigvalsh(gram)
+            if subsampling is not None:
+                rescale = rescale * jnp.sqrt(
+                    jnp.asarray(n_global / len(subsampling) * 1.0)
+                )
+                mask = jnp.isin(ids, jnp.asarray(subsampling)).astype(
+                    jnp.float32
+                )
+                vt = {
+                    p: (DenseFactor(z=leaf.z,
+                                    delta=leaf.delta * mask[None, :, None])
+                        if isinstance(leaf, DenseFactor)
+                        else leaf * jnp.reshape(
+                            mask, (1, -1) + (1,) * (leaf.ndim - 2)))
+                    for p, leaf in vt.items()
+                }
+            if group_paths is None:
+                gram = _structured_gram_dp(vt, rescale, axis_name, gp)
+                return jnp.linalg.eigvalsh(gram)
+            return tuple(
+                jnp.linalg.eigvalsh(
+                    _structured_gram_dp(vt, rescale, axis_name, gp,
+                                        paths=tuple(paths))
+                )
+                for paths in group_paths
+            )
 
     shard_fn = jax.shard_map(
         per_shard,
@@ -508,18 +540,21 @@ def newton_step_dp(
     return jax.jit(fn)
 
 
-def _structured_gram_dp(vt, rescale, axis_name, generic_precision):
+def _structured_gram_dp(vt, rescale, axis_name, generic_precision,
+                        paths=None):
     """Global Gram of a mixed (factored + generic) shard ``Vᵀ``.
 
     Dense ``(z, δ)`` factors are tiny → one ``all_gather`` each; generic
     leaves ride the all_to_all + psum pipeline.  Column order is
     ``(device, cf, n_local)`` on both parts (matches :func:`sharded_gram`).
+    ``paths`` restricts the contributing leaves (block-diagonal groups).
     """
     from vivit_tpu.structured import DenseFactor
 
     gram = None
     generic_mats = []
-    for path, leaf in vt.items():
+    items = vt.items() if paths is None else [(p, vt[p]) for p in paths]
+    for path, leaf in items:
         if isinstance(leaf, DenseFactor):
             # gather factors: [k, S_l, in] and [k, CF, S_l, out]
             z_g = jax.lax.all_gather(leaf.z, axis_name)
