@@ -118,6 +118,7 @@ def eigvalsh_dp(
     precision: str = "highest",
     group_paths: Optional[Sequence[Sequence[str]]] = None,
     subsampling: Optional[Sequence[int]] = None,
+    eig_backend: str = "xla",
 ) -> Callable:
     """Build a jitted data-parallel GGN eigenvalue function.
 
@@ -132,7 +133,13 @@ def eigvalsh_dp(
     ``subsampling`` takes *global* sample indices.  Non-selected columns are
     zeroed (static shards), so the spectrum carries ``(N−|S|)·CF`` extra
     exact zeros below the single-chip sub-sampled spectrum.
+
+    ``eig_backend="dc"`` runs the (replicated) eigendecomposition through
+    the MXU-native spectral-D&C solver — deterministic, so every chip
+    computes identical values.
     """
+    from vivit_tpu.eig import full_eigh
+
     check_subsampling_unique(subsampling)
 
     def per_shard(params, X_l, y_l, key):
@@ -150,13 +157,15 @@ def eigvalsh_dp(
             if mask is not None:
                 vt = _mask_vt(vt, mask)
             if group_paths is None:
-                return jnp.linalg.eigvalsh(
-                    sharded_gram(_flatten_vt(vt), axis_name)
-                )
+                return full_eigh(
+                    sharded_gram(_flatten_vt(vt), axis_name),
+                    backend=eig_backend, eigenvectors=False,
+                )[0]
             return tuple(
-                jnp.linalg.eigvalsh(
-                    sharded_gram(_flatten_vt(vt, tuple(paths)), axis_name)
-                )
+                full_eigh(
+                    sharded_gram(_flatten_vt(vt, tuple(paths)), axis_name),
+                    backend=eig_backend, eigenvectors=False,
+                )[0]
                 for paths in group_paths
             )
 
@@ -181,6 +190,7 @@ def eigvalsh_dp_structured(
     gram_precision: str = None,
     group_paths: Optional[Sequence[Sequence[str]]] = None,
     subsampling: Optional[Sequence[int]] = None,
+    eig_backend: str = "xla",
 ) -> Callable:
     """Data-parallel eigenvalues with the Dense fast path (flax models).
 
@@ -197,6 +207,7 @@ def eigvalsh_dp_structured(
 
     ``fn(variables, X, y, key) -> evals`` (global batch sharded over the mesh).
     """
+    from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
     from vivit_tpu.structured import DenseFactor, structured_ggn_sqrt_vt
 
@@ -240,12 +251,14 @@ def eigvalsh_dp_structured(
                 }
             if group_paths is None:
                 gram = _structured_gram_dp(vt, rescale, axis_name, gp)
-                return jnp.linalg.eigvalsh(gram)
+                return full_eigh(gram, backend=eig_backend,
+                                 eigenvectors=False)[0]
             return tuple(
-                jnp.linalg.eigvalsh(
+                full_eigh(
                     _structured_gram_dp(vt, rescale, axis_name, gp,
-                                        paths=tuple(paths))
-                )
+                                        paths=tuple(paths)),
+                    backend=eig_backend, eigenvectors=False,
+                )[0]
                 for paths in group_paths
             )
 
