@@ -165,7 +165,7 @@ def _deskew(H, s, key):
 _KPM_GRID = 1024
 
 
-def _kpm_cdf(B, key, degree: int = 128, probes: int = 8):
+def _kpm_cdf(B, key, degree: int = 96, probes: int = 8):
     """Jackson-damped KPM eigenvalue-count CDF of B on [-0.05, 1.05].
 
     Returns ``(grid [G], cdf [G])`` with ``cdf`` monotone.
