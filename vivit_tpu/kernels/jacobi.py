@@ -3,14 +3,16 @@
 The leaf/window solver of the spectral-D&C eigensolver
 (:mod:`vivit_tpu.eigdc`).  Two backends:
 
-* ``batched_eigh_xla``: ``vmap(jnp.linalg.eigh)`` — correct everywhere but
-  slow on TPU (XLA's batched eigh costs ~10 ms even for ``[5, 256, 256]``,
-  docs/design.md).
-* ``batched_eigh_jacobi``: a single Pallas kernel running odd-even
-  cyclic Jacobi entirely in VMEM (see jacobi_pallas.py) — the TPU path.
+* ``batched_eigh_xla``: ``jnp.linalg.eigh`` — correct everywhere, and with
+  on-device outputs it is fast for mid-size batches (early measurements
+  suggesting otherwise were polluted by tunnel transfer of eigenvector
+  outputs — docs/design.md).
+* ``batched_eigh_jacobi``: a single Pallas kernel running odd-even cyclic
+  Jacobi entirely in VMEM (jacobi_pallas.py) — measurably faster only for
+  small matrices (m ≤ 64), e.g. the D&C polish windows.
 
-``batched_eigh`` dispatches: Pallas on TPU when shapes qualify, XLA
-otherwise.
+``batched_eigh`` dispatches by the measured policy: Pallas where it wins,
+XLA otherwise.
 """
 
 import jax

@@ -2,10 +2,11 @@
 
 One kernel invocation diagonalizes a batch of small symmetric matrices
 entirely in VMEM — no per-step XLA launches.  This is what makes Jacobi
-viable as the leaf/window solver of the spectral-D&C eigensolver
-(:mod:`vivit_tpu.eigdc`): XLA's own batched eigh costs ~10 ms even for
-``[5, 256, 256]`` and a pure-JAX Jacobi pays a kernel launch per parallel
-step (docs/design.md "Eigensolver design study").
+viable as a window solver for the spectral-D&C eigensolver
+(:mod:`vivit_tpu.eigdc`): a pure-JAX Jacobi pays a kernel launch per
+parallel step, and for small matrices (m ≤ 64) this kernel beats XLA's
+batched eigh ~5× ([40,32,32]: ~0.3 ms vs 1.6 ms on-device — see
+docs/design.md; at larger m XLA wins and is used instead).
 
 Algorithm — odd-even transposition ordering with fold-in swaps:
 
