@@ -4,8 +4,9 @@ A from-scratch re-design of the capabilities of `f-dangel/vivit
 <https://github.com/f-dangel/vivit>`_ for TPU: the BackPACK extension/hook
 machinery is replaced by function transforms (``vmap``-ed ``vjp`` for the GGN
 square root ``V``), Gram assembly and eigenvector back-projection run as
-MXU matmuls (optionally through a Pallas SYRK kernel), and data-parallel
-multi-chip execution reduces Gram blocks over ICI (:mod:`vivit_tpu.parallel`).
+MXU matmuls, the full-spectrum eigensolver is an MXU-native spectral
+divide-and-conquer (:mod:`vivit_tpu.eigdc`), and data-parallel multi-chip
+execution reduces Gram blocks over ICI (:mod:`vivit_tpu.parallel`).
 
 Public surface (mirrors reference vivit/__init__.py:4-17):
 

@@ -38,11 +38,12 @@ Known accuracy envelope (documented, not hidden):
 
 * **Heavily-degenerate clusters** (e.g. 8×-repeated eigenvalues) can mix at
   split boundaries when the cluster is wider than the local spectral gap
-  structure; a density-aware σ placement avoids most of it, but at smaller
-  ``n`` (~512) up to ~10 % of cluster members can carry up to ~10 % relative
-  error (≤1e-2·λmax absolute).  GGN spectra of real models (continuous
-  decay) are unaffected — use ``backend="xla"`` for synthetic
-  highly-degenerate inputs.
+  structure; a density-aware σ placement helps, but on a synthetic
+  8×-degenerate spectrum at ``n = 512`` a seed sweep measures up to ~half
+  the cluster members at ≤ ~12 % relative error (≤ 0.1·λmax absolute).
+  GGN spectra of real models (continuous decay) are unaffected (0/1280
+  violations on the bench Gram) — use ``backend="xla"`` when the input is
+  known to carry wide exact degeneracies.
 * Spectra with more than ``n/2 + margin`` eigenvalues below ~1e-4·λmax that
   also exceed the absolute tolerance lose the smallest of them to the
   capacity clip.
@@ -214,7 +215,7 @@ def _margin(k: int) -> int:
 
 
 def _split(B, count, key, sign_iters: Tuple[int, int], kc: int,
-           kpm_degree: int = 128):
+           kpm_degree: int = 96):
     """One D&C split of a de-skewed node.
 
     Returns ``(P, W, PW, r_below, sigma, floored)`` where ``W = B @ Ω`` is
@@ -425,7 +426,7 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # a looser 2.75·base stop is ~3 ms faster on the bench Gram but degrades
     # the documented degenerate-cluster envelope at small n)
     if depth + 1 < cfg["chain"] and kc > int(1.5 * cfg["base"]):
-        Qz, mz = _basis(Hz, r_z, k_zoom, depth + 1, cfg)
+        Qz, mz = _basis(Hz, r_z, k_sub, depth + 1, cfg)
         Qz = _mm(Yz, Qz)
     else:
         evz, Vz = _leaf_eigh(Hz[None])
@@ -491,24 +492,28 @@ def eigh_dc(
     Q = jax.lax.fori_loop(0, 6, ns, Q)
 
     Bt = _compress(Q, H)
-    Bt, Q = _sort_by_diag(Bt, Q)
+    # eigenvalues-only mode: the polish transforms update Bt alone — Q is
+    # only needed to *return* vectors (roughly one n×n matmul saved per
+    # polish transform)
+    Qp = Q if eigenvectors else None
+    Bt, Qp = _sort_by_diag(Bt, Qp)
     it = iter(k_dm)
     for _ in range(dm_iters[0]):
-        Bt, Q = _dm_iteration(Bt, Q, next(it))
-    Bt, Q = _windowed_jacobi(Bt, Q)
+        Bt, Qp = _dm_iteration(Bt, Qp, next(it))
+    Bt, Qp = _windowed_jacobi(Bt, Qp)
     for _ in range(dm_iters[1]):
-        Bt, Q = _dm_iteration(Bt, Q, next(it))
-    Bt, Q = _windowed_jacobi(Bt, Q)
-    Bt, Q = _bottom_block(Bt, Q, bottom)
+        Bt, Qp = _dm_iteration(Bt, Qp, next(it))
+    Bt, Qp = _windowed_jacobi(Bt, Qp)
+    Bt, Qp = _bottom_block(Bt, Qp, bottom)
     # clusters straddling the bottom-block boundary: one more local sweep
-    Bt, Q = _windowed_jacobi(Bt, Q)
+    Bt, Qp = _windowed_jacobi(Bt, Qp)
     for _ in range(dm_iters[2]):
-        Bt, Q = _dm_iteration(Bt, Q, next(it))
+        Bt, Qp = _dm_iteration(Bt, Qp, next(it))
 
     d = jnp.diag(Bt)
     order = jnp.argsort(d)
     evals = d[order]
-    return (evals, Q[:, order]) if eigenvectors else (evals, None)
+    return (evals, Qp[:, order]) if eigenvectors else (evals, None)
 
 
 def eigvalsh_dc(H: jnp.ndarray, **kwargs) -> jnp.ndarray:

@@ -64,6 +64,7 @@ def _make_operator(model_fn, loss, params, data, product_fn) -> Callable:
     handling, no padding); contributions are summed with the reference's
     dataset normalization.
     """
+    data = list(data)  # one-shot iterators would be exhausted mid-setup
     n_data = sum(X.shape[0] for X, _ in data)
     scans = []
     for size, group in _group_by_batch_size(data).items():
@@ -103,6 +104,7 @@ def gradient_and_loss(model_fn, loss: Loss, params: Any, data):
 
     Reference: vivit/hessianfree/__init__.py:233-252.
     """
+    data = list(data)  # one-shot iterators would be exhausted mid-setup
     n_data = sum(X.shape[0] for X, _ in data)
     scans = []
     for size, group in _group_by_batch_size(data).items():

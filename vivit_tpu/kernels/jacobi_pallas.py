@@ -48,15 +48,15 @@ def jacobi_supported(shape, dtype) -> bool:
     polish [40, 32, 32]: ~0.3 ms vs 1.6 ms); XLA wins at leaf sizes."""
     if not _ENABLED or dtype != jnp.float32 or len(shape) != 3:
         return False
+    platform = jax.devices()[0].platform
+    if platform not in ("tpu", "axon", "cpu"):
+        return False  # Mosaic TPU kernel; cpu runs the interpreter
     b, m, m2 = shape
-    if not (m == m2 and m % 16 == 0 and 16 <= m <= 64):
-        return False
-    # VMEM budget: quadrants/V tiles pad the lane dim to 128; Mosaic keeps
-    # in+out+temp copies on its scoped stack (~3x).  Stay well under 16 MB.
-    h = m // 2
-    lane = 128
-    per_batch = (4 * h + 2 * m) * lane * 4  # bytes, one copy
-    return b * per_batch * 6 <= 12 * 1024 * 1024
+    # Empirical envelope (docs/design.md): the kernel wins vs XLA only for
+    # small matrices; Mosaic's scoped-VMEM stack OOMs for large batches of
+    # tiny tiles ([160,16,16] and [16,160,160] both failed to compile while
+    # [40,32,32] runs).  Dispatch exactly the measured-good region.
+    return m == m2 and m % 16 == 0 and 32 <= m <= 64 and b * m <= 2048
 
 
 def _roll(x, shift, axis):

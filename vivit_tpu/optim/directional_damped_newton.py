@@ -103,7 +103,7 @@ def newton_step_topk(
         mc_samples_ggn=mc_samples_ggn,
         key=key,
         batch_size=batch_size,
-                precision=precision,
+        precision=precision,
         gram_precision=gram_precision,
         compute_eigh=False,
     )

@@ -351,6 +351,12 @@ def eigh_dp(
         )
 
     def stack_evecs(e_par, params, count):
+        if count == 0:
+            # empty criterion selection: match the single-chip behavior of
+            # returning empty eigenpair containers (tests/test_edge_cases.py)
+            return jax.tree_util.tree_map(
+                lambda p: jnp.zeros((0,) + p.shape, p.dtype), params
+            )
         leaves = [unravel_like(e_par[:, i], params) for i in range(count)]
         return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *leaves)
 
@@ -444,6 +450,16 @@ def newton_step_dp(
     check_subsampling_unique(subsampling_ggn)
     from vivit_tpu.utils.tree import select_paths, unravel_like
 
+    def _check_rank(cf: int):
+        """Sub-sampled Grams carry only |S|·CF nonzero eigenvalues; a larger
+        ``k_top`` would select exact zeros and divide the directions by
+        √0 → NaN steps."""
+        if subsampling_ggn is not None and k_top > len(subsampling_ggn) * cf:
+            raise ValueError(
+                f"k_top={k_top} exceeds the sub-sampled GGN rank "
+                f"|S|·CF = {len(subsampling_ggn) * cf}."
+            )
+
     def group_block(vt, g_local, paths, ids, n_local, n_global, dev):
         """Directions/γ/λ/step for one parameter block."""
         s_ggn = n_global if subsampling_ggn is None else len(subsampling_ggn)
@@ -501,6 +517,8 @@ def newton_step_dp(
                 mc_samples=mc_samples, key=key,
                 column_scale=scale, sample_ids=ids,
             )
+            first = next(iter(jax.tree_util.tree_leaves(vt)))
+            _check_rank(first.shape[0])
             if mask is not None:
                 vt = _mask_vt(vt, mask)
 
