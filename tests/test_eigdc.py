@@ -109,3 +109,27 @@ def test_eigvalsh_backend_dispatch():
                       group_paths=(tuple(p.paths),), eig_backend="dc")
     assert np.allclose(np.asarray(got[0]), np.asarray(want[0]),
                        rtol=1e-5, atol=1e-6)
+
+
+def test_refine_eigh_warm_start():
+    """refine_eigh: ~zero residual from an exact basis; recovers the exact
+    spectrum from a small-drift warm start; reports honest residuals."""
+    from vivit_tpu.eigdc import refine_eigh
+
+    A = _spectrum_matrix(SPECTRA["ggn-like"], seed=5)
+    evals, Q = jnp.linalg.eigh(jnp.asarray(A))
+    ev, Q2, res = jax.jit(refine_eigh)(jnp.asarray(A), Q)
+    assert float(res) < 1e-5
+    ref = np.sort(np.asarray(evals))
+    err = np.abs(np.sort(np.asarray(ev)) - ref)
+    assert np.max(err[-40:] / np.abs(ref[-40:])) < 1e-4
+
+    # small symmetric perturbation: the old basis refines to the new spectrum
+    rng = np.random.default_rng(9)
+    E = rng.normal(size=A.shape).astype(np.float32)
+    A2 = A + 1e-4 * abs(ref[-1]) * (E + E.T) / (2 * np.sqrt(A.shape[0]))
+    ref2 = np.linalg.eigvalsh(A2.astype(np.float64))
+    ev2, _, res2 = jax.jit(refine_eigh)(jnp.asarray(A2), Q)
+    err2 = np.abs(np.sort(np.asarray(ev2)) - ref2)
+    assert float(res2) < 1e-2
+    assert np.max(err2[-40:] / np.abs(ref2[-40:])) < 1e-3

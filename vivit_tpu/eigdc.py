@@ -520,3 +520,49 @@ def eigvalsh_dc(H: jnp.ndarray, **kwargs) -> jnp.ndarray:
     """Eigenvalues-only variant of :func:`eigh_dc`."""
     evals, _ = eigh_dc(H, eigenvectors=False, **kwargs)
     return evals
+
+
+def refine_eigh(
+    H: jnp.ndarray,
+    Q: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    dm_iters: Tuple[int, int] = (2, 1),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Refine an approximate eigenbasis ``Q`` of symmetric ``H``.
+
+    Runs the quadratically-convergent polish stage alone (NS
+    re-orthonormalization, Davies-Modi iterations, one windowed-Jacobi
+    sweep).  Returns ``(evals ascending, Q_new, residual)`` where
+    ``residual`` is the relative off-diagonal Frobenius norm after
+    refinement — ~1e-7 from an exact basis of ``H`` itself.
+
+    Intended for warm starts: refining a basis from a *nearby* matrix
+    (e.g. the previous optimization step's Gram).  Honest caveat from an
+    at-scale measurement (CIFAR-10 3c3d, docs/design.md): a single SGD
+    step — even at lr 1e-3 from random init — rotates the GGN eigenbasis
+    enough (residual ~4e-2) that refinement does NOT recover parity-grade
+    spectra; warm-starting pays off only when per-step curvature drift is
+    genuinely small.  Check ``residual`` before trusting the output.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, sum(dm_iters))
+
+    def ns(_, Q):
+        return 1.5 * Q - 0.5 * _mm(Q, _mm(Q.T, Q))
+
+    Q = jax.lax.fori_loop(0, 2, ns, Q)
+    Bt = _compress(Q, H)
+    Bt, Q = _sort_by_diag(Bt, Q)
+    it = iter(keys)
+    for _ in range(dm_iters[0]):
+        Bt, Q = _dm_iteration(Bt, Q, next(it))
+    Bt, Q = _windowed_jacobi(Bt, Q)
+    for _ in range(dm_iters[1]):
+        Bt, Q = _dm_iteration(Bt, Q, next(it))
+
+    d = jnp.diag(Bt)
+    off = Bt - jnp.diag(d)
+    residual = jnp.linalg.norm(off) / (jnp.linalg.norm(Bt) + 1e-30)
+    order = jnp.argsort(d)
+    return d[order], Q[:, order], residual
