@@ -214,3 +214,17 @@ def test_lowrank_and_projector():
     proj = Projector(Q.astype(np.float32))
     y = proj @ x
     assert np.allclose(proj @ y, y, rtol=1e-4, atol=1e-5)  # idempotent
+
+
+def test_operator_accepts_one_shot_iterator():
+    """Generator datasets must not yield a silently-zero operator —
+    regression for the double-iteration exhaustion bug."""
+    model_fn, params, data, loss = _setup()
+    G = _dataset_matrix(model_fn, loss, params, data, "ggn")
+    op = ggn_operator(model_fn, loss, params, (batch for batch in data))
+    v = np.random.default_rng(7).normal(size=(G.shape[0],)).astype(np.float32)
+    assert np.allclose(np.asarray(op(jnp.asarray(v))), G @ v,
+                       rtol=1e-4, atol=1e-6)
+    g, l = gradient_and_loss(model_fn, loss, params,
+                             (batch for batch in data))
+    assert float(l) > 0.0

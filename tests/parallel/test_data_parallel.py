@@ -391,3 +391,32 @@ def test_mc_dp_deterministic_across_layouts():
     )
     assert np.allclose(evals_dp, np.sort(np.asarray(evals_sc)),
                        rtol=1e-4, atol=5e-6)
+
+
+def test_eigh_dp_empty_criterion_selection():
+    """A criterion keeping nothing returns empty containers (no crash) —
+    regression for the tree_map-of-zero-trees TypeError."""
+    from vivit_tpu.parallel import eigh_dp
+
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    fn = eigh_dp(model_fn, loss, mesh, criterion=lambda ev: [],
+                 warn_small_eigvals=None)
+    evals, evecs = fn(params, X, y, None)
+    assert np.asarray(evals).shape == (0,)
+    for leaf in jax.tree_util.tree_leaves(evecs):
+        assert leaf.shape[0] == 0
+
+
+def test_newton_step_dp_subsampled_rank_guard():
+    """k_top beyond the sub-sampled GGN rank raises instead of emitting a
+    NaN step (the masked Gram's zero eigenvalues would be selected)."""
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    # |S|*C = 2*3 = 6 < k_top = 8
+    fn = newton_step_dp(model_fn, loss, mesh, k_top=8,
+                        subsampling_ggn=[0, 5])
+    with pytest.raises(ValueError, match="rank"):
+        fn(params, X, y, None)
