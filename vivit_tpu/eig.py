@@ -53,13 +53,20 @@ def topk_eigh(
     :func:`jax.experimental.sparse.linalg.lobpcg_standard` — for
     ``k ≪ dim`` this replaces the O(dim³) eigensolver (the second-largest
     cost of the benchmark pipeline, docs/design.md) with ~20 skinny matmul
-    iterations.  Both paths are jittable with static ``k``.
+    iterations.  ``solver="dc"`` slices the MXU-native spectral-D&C
+    decomposition (:mod:`vivit_tpu.eigdc`).  All paths are jittable with
+    static ``k``.
 
     Returns:
         ``(evals [k] ascending, evecs [dim, k])`` column-stacked.
     """
     if solver == "eigh":
         evals, evecs = jnp.linalg.eigh(gram)
+        return evals[-k:], evecs[:, -k:]
+    if solver == "dc":
+        from vivit_tpu.eigdc import eigh_dc
+
+        evals, evecs = eigh_dc(gram)
         return evals[-k:], evecs[:, -k:]
     if solver == "lobpcg":
         from jax.experimental.sparse.linalg import lobpcg_standard
@@ -70,7 +77,9 @@ def topk_eigh(
         theta, u, _ = lobpcg_standard(gram, x0, m=lobpcg_iters)
         order = jnp.argsort(theta)  # lobpcg returns unsorted top-k
         return theta[order], u[:, order]
-    raise ValueError(f"Unknown solver {solver!r} (use 'eigh' or 'lobpcg').")
+    raise ValueError(
+        f"Unknown solver {solver!r} (use 'eigh', 'lobpcg' or 'dc')."
+    )
 
 
 def shift_diag(mat: jnp.ndarray, shift: float) -> jnp.ndarray:
