@@ -46,6 +46,18 @@ assert np.allclose(np.sort(np.asarray(evals)), np.sort(np.asarray(evals_sc)),
                    rtol=1e-4, atol=5e-6)
 print("matches the single-chip spectrum. ✓")
 
+# block-diagonal groups and global-index sub-sampling compose with DP
+from vivit_tpu.utils.tree import leaf_paths
+
+paths = leaf_paths(params)
+groups = [[p for p in paths if p.endswith("kernel")],
+          [p for p in paths if not p.endswith("kernel")]]
+fn_groups = eigvalsh_dp(model_fn, loss, mesh, group_paths=groups,
+                        subsampling=list(range(0, n_global, 2)))
+per_group = fn_groups(params, X, y, None)
+print("block-diagonal sub-sampled top eigenvalues:",
+      [np.round(np.asarray(g)[-2:], 4) for g in per_group])
+
 # a few distributed second-order training steps
 step = train_step_dp(model_fn, loss, mesh, k_top=4, damping=1.0, lr=1.0)
 losses = [float(loss(model_fn(params, X), y))]
@@ -55,3 +67,18 @@ for _ in range(3):
 print("DP Newton loss trajectory:", [f"{l:.4f}" for l in losses])
 assert losses[-1] < losses[0]
 print("Distributed damped Newton reduces the loss. ✓")
+
+# the structured Dense fast path runs multi-chip too (flax models):
+import flax.linen as nn
+
+from vivit_tpu.models import MLP as FlaxMLP
+from vivit_tpu.parallel import newton_step_dp_structured
+
+module = FlaxMLP(features=(16, C))
+variables = module.init(jax.random.PRNGKey(1), jnp.ones((1, D_IN), jnp.float32))
+newton_structured = newton_step_dp_structured(module, loss, mesh, k_top=4,
+                                              damping=1.0)
+evals_s, step_s = newton_structured(variables, X, y, None)
+assert all(np.isfinite(np.asarray(l)).all()
+           for l in jax.tree_util.tree_leaves(step_s))
+print("Structured (Kronecker-factored) DP Newton step. ✓")
