@@ -48,3 +48,29 @@ def test_newton_step_lobpcg_matches_eigh_solver():
                                  solver="lobpcg")
     for a, b in zip(step_e, step_l):
         assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_topk_dc_solver_matches_eigh():
+    """solver='dc' slices the spectral-D&C decomposition."""
+    import numpy as np
+
+    from vivit_tpu.eig import topk_eigh
+
+    rng = np.random.default_rng(12)
+    G = rng.normal(size=(448, 448)).astype(np.float32) / np.sqrt(448)
+    A = jnp.asarray(G @ G.T)
+    ev_dc, V_dc = topk_eigh(A, 6, solver="dc")
+    ev_x, V_x = topk_eigh(A, 6, solver="eigh")
+    assert np.allclose(np.asarray(ev_dc), np.asarray(ev_x),
+                       rtol=1e-4, atol=1e-5)
+    align = np.abs(np.sum(np.asarray(V_dc) * np.asarray(V_x), axis=0))
+    assert np.all(align > 0.999)
+
+
+def test_topk_unknown_solver_raises():
+    import pytest as _pytest
+
+    from vivit_tpu.eig import topk_eigh
+
+    with _pytest.raises(ValueError, match="Unknown solver"):
+        topk_eigh(jnp.eye(8), 2, solver="nope")
