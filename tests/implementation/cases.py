@@ -99,6 +99,17 @@ def make_problems() -> List[Problem]:
                 vt.CrossEntropyLoss("mean"))
     )
 
+    # Rank-deficient regime: D < N·C, so the Gram carries N·C − D structural
+    # zero eigenvalues (the reference compares top-min(NC, D) for exactly this
+    # case, test/implementation/optim_autograd.py).  Single linear layer:
+    # D = 3·4+4 = 16 < N·C = 28.
+    lin_fn, lin_params = init_model(MLP(features=(C,)), (3,), seed=7)
+    X, y = _data(rng, N, (3,), C, True)
+    problems.append(
+        Problem("rankdef_linear_ce_mean", lin_fn, lin_params, X, y,
+                vt.CrossEntropyLoss("mean"))
+    )
+
     ct_fn, ct_params = init_model(ConvTransposeNet(num_classes=3), (3, 3, 1), seed=4)
     X, y = _data(rng, 5, (3, 3, 1), 3, False)
     problems.append(

@@ -19,11 +19,14 @@ from tests.implementation.oracle import (
 )
 
 TOP_KS = [1, 10]
+EIGH_PROBLEMS = PROBLEMS[:5] + [p for p in PROBLEMS
+                                if p.name == "rankdef_linear_ce_mean"]
 
 
 @pytest.mark.parametrize("k", TOP_KS, ids=lambda k: f"top{k}")
 @pytest.mark.parametrize("subsampling", SUBSAMPLINGS, ids=lambda s: f"sub={s}")
-@pytest.mark.parametrize("problem", PROBLEMS[:5], ids=PROBLEM_IDS[:5])
+@pytest.mark.parametrize("problem", EIGH_PROBLEMS,
+                         ids=[p.name for p in EIGH_PROBLEMS])
 def test_eigh_properties_and_match(problem, subsampling, k):
     criterion = vt.keep_top_k(k, must_exceed=1e-5)
     comp = vt.EighComputation(problem.model_fn, problem.loss,

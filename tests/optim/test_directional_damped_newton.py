@@ -13,6 +13,7 @@ from tests.implementation.cases import PROBLEMS
 from tests.implementation.oracle import flat_from_leaves
 from tests.optim.test_directional_derivatives import (
     MEAN_PROBLEMS,
+    OPTIM_PROBLEMS,
     _oracle_gammas_lambdas,
 )
 
@@ -21,8 +22,8 @@ DAMPING = 1.0
 
 @pytest.mark.parametrize("sub_grad,sub_ggn", [(None, None), ([2, 0], [0, 3, 1])],
                          ids=["full", "subsampled"])
-@pytest.mark.parametrize("problem", MEAN_PROBLEMS[:3],
-                         ids=[p.name for p in MEAN_PROBLEMS[:3]])
+@pytest.mark.parametrize("problem", OPTIM_PROBLEMS,
+                         ids=[p.name for p in OPTIM_PROBLEMS])
 def test_newton_step_parity(problem, sub_grad, sub_ggn):
     criterion = vt.keep_top_k(10, must_exceed=1e-5)
     comp = vt.DirectionalDampedNewtonComputation(
@@ -43,7 +44,9 @@ def test_newton_step_parity(problem, sub_grad, sub_ggn):
             coeff = -gammas_o.mean(0) / (lambdas_o.mean(0) + DAMPING)
             step_o = (evecs_o * coeff[None, :]).sum(1)
             got = flat_from_leaves([s[None] for s in step])[:, 0]
-            assert np.allclose(got, step_o, rtol=1e-5, atol=1e-5), (
+            # atol 5e-5: near-threshold eigenvalues of rank-deficient blocks
+            # amplify f32 rounding through the 1/√λ normalization
+            assert np.allclose(got, step_o, rtol=1e-5, atol=5e-5), (
                 f"{problem.name}/{layout_name}"
             )
 

@@ -18,6 +18,8 @@ from tests.implementation.oracle import (
 )
 
 MEAN_PROBLEMS = [p for p in PROBLEMS if p.loss.reduction == "mean"]
+OPTIM_PROBLEMS = MEAN_PROBLEMS[:3] + [p for p in MEAN_PROBLEMS
+                                      if p.name == "rankdef_linear_ce_mean"]
 SUB_COMBOS = [(None, None), ([2, 0], None), (None, [0, 3, 1]), ([2, 0], [0, 3, 1])]
 
 
@@ -51,8 +53,8 @@ def _oracle_gammas_lambdas(problem, paths, criterion, sub_grad, sub_ggn):
 
 @pytest.mark.parametrize("sub_grad,sub_ggn", SUB_COMBOS,
                          ids=lambda s: f"{s}")
-@pytest.mark.parametrize("problem", MEAN_PROBLEMS[:3],
-                         ids=[p.name for p in MEAN_PROBLEMS[:3]])
+@pytest.mark.parametrize("problem", OPTIM_PROBLEMS,
+                         ids=[p.name for p in OPTIM_PROBLEMS])
 def test_gammas_lambdas_parity(problem, sub_grad, sub_ggn):
     criterion = vt.keep_top_k(10, must_exceed=1e-5)
     comp = vt.DirectionalDerivativesComputation(
