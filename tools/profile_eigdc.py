@@ -1,0 +1,102 @@
+"""Stage-time attribution for the spectral-D&C eigensolver (eigdc).
+
+Times the full solver and ablations that isolate its three cost centers on a
+real (or synthetic GGN-like) Gram matrix:
+
+  * ``chain``  — the sequential zoom-chain recursion (``_basis`` depths),
+  * ``tree``   — the level-batched complement subtrees,
+  * ``polish`` — sort / Davies-Modi / windowed-Jacobi / bottom-block.
+
+Run on the TPU from the repo root::
+
+    python tools/profile_eigdc.py [--n 1280] [--gram /tmp/gram1280.npy]
+
+Each figure is a median of 5 fetch-synchronized repeats (np.asarray as the
+completion barrier — see docs/design.md on tunnel-RTT measurement hygiene).
+Use this to re-derive the round-3 optimization targets before touching the
+solver; the round-2 numbers it reproduces are recorded in docs/design.md.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _median_ms(fn, reps=5):
+    fn()  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fn())
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1280)
+    ap.add_argument("--gram", type=str, default=None,
+                    help=".npy with a saved PSD Gram (overrides --n)")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    from vivit_tpu import eigdc
+
+    if args.gram:
+        H = jnp.asarray(np.load(args.gram), jnp.float32)
+    else:
+        # synthetic GGN-like spectrum: dense decaying bulk + noise floor
+        rng = np.random.default_rng(0)
+        n = args.n
+        lam = np.sort(np.exp(rng.normal(0, 2.5, n)))[::-1]
+        lam[int(0.8 * n):] *= 1e-6  # rank-deficient tail
+        Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        H = jnp.asarray((Q * lam[None, :]) @ Q.T, jnp.float32)
+    n = H.shape[0]
+    key = jax.random.PRNGKey(0)
+    print(f"device={jax.devices()[0].platform}  n={n}")
+
+    # reference point: stock XLA
+    xla = jax.jit(jnp.linalg.eigvalsh)
+    t_xla = _median_ms(lambda: xla(H), args.reps)
+    print(f"xla_eigvalsh       {t_xla:8.2f} ms")
+
+    full = jax.jit(lambda M: eigdc.eigvalsh_dc(M, key=key))
+    t_full = _median_ms(lambda: full(H), args.reps)
+    print(f"dc_full            {t_full:8.2f} ms")
+
+    # ablation: basis only (chain + tree, no polish) — eigenvalues of the
+    # compressed tridiagonal-ish Bt without refinement
+    cfg = {"base": 160, "chain": 6}
+
+    @jax.jit
+    def basis_only(M):
+        Q, mask = eigdc._basis(M, jnp.asarray(n), key, 0, cfg)
+        return jnp.sum(Q) + jnp.sum(mask)
+
+    t_basis = _median_ms(lambda: basis_only(H), args.reps)
+    print(f"dc_basis (chain+tree) {t_basis:5.2f} ms")
+    print(f"dc_polish (full-basis) {t_full - t_basis:4.2f} ms")
+
+    # ablation: chain depth 1 (leaf-solve the first zoom immediately) vs
+    # full chain isolates the sequential-depth cost
+    @jax.jit
+    def basis_shallow(M):
+        Q, mask = eigdc._basis(M, jnp.asarray(n), key, 0,
+                               {"base": 160, "chain": 1})
+        return jnp.sum(Q) + jnp.sum(mask)
+
+    t_shallow = _median_ms(lambda: basis_shallow(H), args.reps)
+    print(f"dc_basis chain=1   {t_shallow:8.2f} ms "
+          f"(chain-depth cost ≈ {t_basis - t_shallow:.2f} ms)")
+
+
+if __name__ == "__main__":
+    main()
