@@ -80,6 +80,7 @@ def test_exact_ggn_vector_product(problem):
     assert np.allclose(np.asarray(ravel(gv)), G @ v_flat, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mc_ggn_converges_to_exact():
     """Statistical MC test (reference :102-112): chunked sampling, loose tol."""
     problem = PROBLEMS[0]

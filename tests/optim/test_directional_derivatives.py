@@ -149,6 +149,7 @@ def test_mc_lambda_rayleigh_identity(mc_samples):
                        rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mc_gammas_lambdas_converge_to_exact():
     """Chunked MC γ/λ (M=128 × 8 draws) converge to the exact pipeline.
 

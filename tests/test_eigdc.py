@@ -37,26 +37,53 @@ SPECTRA = {
 }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", list(SPECTRA), ids=list(SPECTRA))
 def test_eigvalsh_dc_parity(solver, name):
+    """With the default runtime guard, EVERY spectrum meets the parity bar:
+    the solver detects its own weak regimes (wide exact degeneracies) via
+    the off-diagonal/orthonormality defect and falls back to XLA."""
     A = _spectrum_matrix(SPECTRA[name])
     ref = np.linalg.eigvalsh(A.astype(np.float64))
     ev = np.sort(np.asarray(solver(jnp.asarray(A))))
     err = np.abs(ev - ref)
     tol = ATOL * max(1.0, abs(ref[-1])) + RTOL * np.abs(ref)
-    if name == "clustered":
-        # documented envelope (eigdc module docstring, seed sweep): up to
-        # ~half of heavily-degenerate cluster members at ≤~12% rel error
-        assert (err > tol).mean() <= 0.55, int((err > tol).sum())
-        assert err.max() <= 0.1 * abs(ref[-1])
-        assert np.allclose(ev, ref, rtol=1.5e-1, atol=1e-4 * abs(ref[-1]))
-        return
     assert (err <= tol).all(), (
         f"{name}: {int((err > tol).sum())}/{N} violations, "
         f"max {err.max():.2e}"
     )
 
 
+@pytest.mark.slow
+def test_clustered_envelope_without_guard():
+    """``guard=None`` documents the raw envelope on the weak regime: up to
+    ~half of heavily-degenerate cluster members at ≤~12% rel error (eigdc
+    module docstring, seed sweep)."""
+    A = _spectrum_matrix(SPECTRA["clustered"])
+    ref = np.linalg.eigvalsh(A.astype(np.float64))
+    raw = jax.jit(lambda H: eigvalsh_dc(H, guard=None))
+    ev = np.sort(np.asarray(raw(jnp.asarray(A))))
+    err = np.abs(ev - ref)
+    tol = ATOL * max(1.0, abs(ref[-1])) + RTOL * np.abs(ref)
+    assert (err > tol).mean() <= 0.55, int((err > tol).sum())
+    assert err.max() <= 0.1 * abs(ref[-1])
+    assert np.allclose(ev, ref, rtol=1.5e-1, atol=1e-4 * abs(ref[-1]))
+
+
+@pytest.mark.slow
+def test_rank_deficient_falls_back_to_xla():
+    """Exact wide zero-degeneracy (the sub-sampled-DP Gram shape) trips the
+    orthonormality defect and lands on the XLA branch at full accuracy."""
+    lam = np.concatenate([np.zeros(200), np.exp(-np.linspace(0, 8, 312)) * 50])
+    A = _spectrum_matrix(lam)
+    ref = np.linalg.eigvalsh(A.astype(np.float64))
+    ev = np.sort(np.asarray(jax.jit(eigvalsh_dc)(jnp.asarray(A))))
+    err = np.abs(ev - ref)
+    tol = ATOL * max(1.0, abs(ref[-1])) + RTOL * np.abs(ref)
+    assert (err <= tol).all(), err.max()
+
+
+@pytest.mark.slow
 def test_eigh_dc_eigenvector_properties():
     """Top-k eigenpairs satisfy ``A v = λ v`` and near-orthonormality."""
     A = _spectrum_matrix(SPECTRA["ggn-like"], seed=3)
@@ -69,6 +96,20 @@ def test_eigh_dc_eigenvector_properties():
     assert np.all(res <= 5e-4 * abs(ev[-1]) + 1e-6), res.max()
     gram = Vk.T @ Vk
     assert np.abs(gram - np.eye(k)).max() < 5e-3
+
+
+@pytest.mark.slow
+def test_eigh_dc_full_basis_orthonormality():
+    """The FULL n-column basis is orthonormal and globally consistent —
+    the property EighComputation's ``eig_backend='dc'`` back-projection
+    rests on (not just the top-k slice)."""
+    A = _spectrum_matrix(SPECTRA["ggn-like"], seed=7)
+    ev, V = jax.jit(lambda H: eigh_dc(H))(jnp.asarray(A))
+    ev, V = np.asarray(ev), np.asarray(V)
+    assert np.linalg.norm(V.T @ V - np.eye(N)) / np.sqrt(N) < 1e-4
+    # global similarity defect: ‖A V − V diag(ev)‖_F relative to ‖A‖_F
+    defect = np.linalg.norm(A @ V - V * ev[None, :]) / np.linalg.norm(A)
+    assert defect < 5e-4, defect
 
 
 def test_small_matrix_falls_back_to_xla():
@@ -111,6 +152,7 @@ def test_eigvalsh_backend_dispatch():
                        rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_refine_eigh_warm_start():
     """refine_eigh: ~zero residual from an exact basis; recovers the exact
     spectrum from a small-drift warm start; reports honest residuals."""

@@ -34,16 +34,21 @@ on the CIFAR-10 3c3d bench Gram (top-40 rel ~1e-6), exponential-decay, flat
 and GGN-like spectra.  Measured on TPU v5e at 1280²: ~42-50 ms net vs
 ~62-67 ms for ``jnp.linalg.eigvalsh`` (in-pipeline headline 121 → 112 ms).
 
-Known accuracy envelope (documented, not hidden):
+Known accuracy envelope (documented, not hidden — and since round 3
+**guarded at runtime**: the default ``guard=1e-4`` self-check measures the
+solver's own off-diagonal/orthonormality defect after the polish and falls
+back to ``jnp.linalg.eigh`` inside the same jitted program when the
+envelope is violated, so none of the caveats below require a-priori
+knowledge of the spectrum):
 
 * **Heavily-degenerate clusters** (e.g. 8×-repeated eigenvalues) can mix at
   split boundaries when the cluster is wider than the local spectral gap
   structure; a density-aware σ placement helps, but on a synthetic
   8×-degenerate spectrum at ``n = 512`` a seed sweep measures up to ~half
-  the cluster members at ≤ ~12 % relative error (≤ 0.1·λmax absolute).
-  GGN spectra of real models (continuous decay) are unaffected (0/1280
-  violations on the bench Gram) — use ``backend="xla"`` when the input is
-  known to carry wide exact degeneracies.
+  the cluster members at ≤ ~12 % relative error (≤ 0.1·λmax absolute)
+  under ``guard=None``.  GGN spectra of real models (continuous decay) are
+  unaffected (0/1280 violations on the bench Gram); the guard catches the
+  degenerate cases (measured defect ≥ 5e-4 vs ~1e-6 on healthy spectra).
 * Spectra with more than ``n/2 + margin`` eigenvalues below ~1e-4·λmax that
   also exceed the absolute tolerance lose the smallest of them to the
   capacity clip.
@@ -176,7 +181,6 @@ def _kpm_cdf(B, key, degree: int = 96, probes: int = 8):
     c, h = (hi + lo) / 2.0, (hi - lo) / 2.0 * 1.02
     Z = jax.random.rademacher(key, (n, probes), _F32)
 
-    B = B  # KPM is a counting estimate: bf16_3x products suffice
     T1 = (_mm(B, Z, _MID) - c * Z) / h
     mu0 = jnp.sum(Z * Z) / probes
     mu1 = jnp.sum(Z * T1) / probes
@@ -300,7 +304,6 @@ def _tree(B_batch, counts, lifts, key, base: int):
     keys = jax.random.split(key, bsz + 1)
 
     def split_one(B, count, lift, kk):
-        kk, k_pm, k_pp = jax.random.split(kk, 3)
         P, W, PW, r, _, _ = _split(B, count, kk, (9, 4), kc)
         r = jnp.clip(r, jnp.maximum(0, count - kc), jnp.minimum(count, kc))
         Ym = _orth_px(PW)
@@ -459,12 +462,23 @@ def eigh_dc(
     dm_iters: Tuple[int, int, int] = (3, 2, 2),
     bottom: int = 320,
     key: Optional[jax.Array] = None,
+    guard: Optional[float] = 1e-4,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full-spectrum eigendecomposition of a symmetric PSD matrix.
 
     Returns ``(evals [n] ascending, evecs [n, n] or None)``.  Matches
     ``jnp.linalg.eigh`` to the library parity tolerances on GGN-like
     spectra (see module docstring for the validated envelope).
+
+    ``guard``: runtime self-check threshold.  After the polish, the solver
+    measures its own relative defect (off-diagonal Frobenius mass of
+    ``QᵀHQ`` plus basis orthonormality drift ``‖QᵀQ−I‖_F/√n``) and — when
+    the defect exceeds ``guard`` — falls back to ``jnp.linalg.eigh``
+    inside the same jitted program (``lax.cond``: the XLA branch only
+    *executes* on violation).  This turns the documented accuracy envelope
+    (wide exact degeneracies) into a runtime property instead of a
+    caveat users must know a priori.  ``guard=None`` disables the check
+    (saves ~3 n³ matmuls ≈ 0.5 ms at n=1280).
     """
     n = H.shape[0]
     H = 0.5 * (H + H.T).astype(_F32)
@@ -475,13 +489,20 @@ def eigh_dc(
         key = jax.random.PRNGKey(0)
 
     cfg = {"base": base, "chain": chain}
-    k_basis, k_orth, *k_dm = jax.random.split(key, 2 + sum(dm_iters) + 2)
+    k_basis, *k_dm = jax.random.split(key, 1 + sum(dm_iters) + 2)
 
     Q, mask = _basis(H, jnp.asarray(n, jnp.int32), k_basis, 0, cfg)
 
-    # select n columns, valid first (ties broken arbitrarily)
-    order = jnp.argsort(~mask)  # valid (True) first
-    Q = Q[:, order[:n]]
+    # Select n columns, valid first.  When leaf counts under-claim
+    # (capacity clips dropped validity), the filler columns come from the
+    # invalid pool — rank them by column norm: range-finder junk columns
+    # sit at (near-)exact zero while genuinely duplicated directions keep
+    # ~unit norm and survive the global re-orthonormalization, so the
+    # largest-norm invalid columns are the only useful fillers.
+    colnorm = jnp.linalg.norm(Q, axis=0)
+    score = jnp.where(mask, 2.0 + colnorm, colnorm / (jnp.max(colnorm) + 1e-30))
+    _, order = jax.lax.top_k(score, n)
+    Q = Q[:, order]
 
     # global re-orthonormalization (cross-leaf leakage breaks Ritz accuracy;
     # eigenvector mode needs near-duplicate columns fully separated, which
@@ -513,7 +534,31 @@ def eigh_dc(
     d = jnp.diag(Bt)
     order = jnp.argsort(d)
     evals = d[order]
-    return (evals, Qp[:, order]) if eigenvectors else (evals, None)
+    evecs = Qp[:, order] if eigenvectors else None
+
+    if guard is None:
+        return evals, evecs
+
+    # ---- runtime self-check + XLA fallback ---------------------------------
+    # defect 1: un-annihilated off-diagonal mass of the polished Bt
+    # (clusters that straddled every window/bottom-block boundary);
+    # defect 2: basis orthonormality drift (rank-deficient column
+    # selection that the global NS re-orthonormalization could not fix).
+    Qc = evecs if eigenvectors else Q
+    scale = jnp.linalg.norm(Bt) + 1e-30
+    off = jnp.linalg.norm(Bt - jnp.diag(d)) / scale
+    gram_q = _mm(Qc.T, Qc)
+    orth = jnp.linalg.norm(gram_q - jnp.eye(n, dtype=_F32)) / np.sqrt(n)
+    bad = (off > guard) | (orth > guard) | jnp.any(jnp.isnan(d))
+
+    if eigenvectors:
+        return jax.lax.cond(
+            bad, lambda: tuple(jnp.linalg.eigh(H)), lambda: (evals, evecs)
+        )
+    evals = jax.lax.cond(
+        bad, lambda: jnp.linalg.eigvalsh(H), lambda: evals
+    )
+    return evals, None
 
 
 def eigvalsh_dc(H: jnp.ndarray, **kwargs) -> jnp.ndarray:

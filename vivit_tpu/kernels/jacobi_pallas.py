@@ -68,7 +68,12 @@ def _rot_from(app, aqq, apq, invalid):
     """Jacobi coefficients (c, s) from pivot arrays (any broadcast shape)."""
     small = jnp.abs(apq) <= 1e-30
     tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
-    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    # copysign form: tau == 0 (equal diagonal, nonzero off-diagonal) must
+    # yield the 45° rotation t = 1, not the jnp.sign(0) = 0 identity — an
+    # exactly-degenerate diagonal pair would otherwise never converge
+    t = jnp.where(tau >= 0.0, 1.0, -1.0) / (
+        jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)
+    )
     t = jnp.where(small, 0.0, t)
     c = jax.lax.rsqrt(1.0 + t * t)
     s = t * c

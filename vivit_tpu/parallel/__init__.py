@@ -136,7 +136,11 @@ def eigvalsh_dp(
 
     ``eig_backend="dc"`` runs the (replicated) eigendecomposition through
     the MXU-native spectral-D&C solver — deterministic, so every chip
-    computes identical values.
+    computes identical values.  Note: combining ``subsampling`` with
+    ``eig_backend="dc"`` puts ``(N−|S|)·CF`` exactly-degenerate zeros in
+    the spectrum — the D&C solver's documented weak regime (wide exact
+    degeneracies, see the :mod:`vivit_tpu.eigdc` docstring); prefer
+    ``eig_backend="xla"`` for sub-sampled DP spectra.
     """
     from vivit_tpu.eig import full_eigh
 
