@@ -6,6 +6,7 @@ against the oracle eigenvectors (rtol=2e-2), with top-k criteria k ∈ {1, 10}
 above a 1e-5 floor.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -99,3 +100,45 @@ def test_small_eigval_warning():
     param_groups = [{"params": problem.paths, "criterion": vt.keep_all}]
     with pytest.warns(UserWarning, match="small"):
         comp.compute(problem.params, problem.X, problem.y, param_groups)
+
+
+@pytest.mark.slow
+def test_eigh_computation_dc_backend_matches_xla():
+    """EighComputation(eig_backend='dc') at a size where the D&C solver
+    actually engages (NC = 256 > the small-matrix XLA fallback threshold):
+    eigenvalues at the library parity bar, back-projected eigenvectors
+    matching sign-invariantly."""
+    rng = np.random.default_rng(11)
+    N, D_IN, H, C = 64, 6, 8, 4
+    params = {
+        "w1": jnp.asarray(rng.normal(size=(D_IN, H)) / 2, jnp.float32),
+        "w2": jnp.asarray(rng.normal(size=(H, C)) / 2, jnp.float32),
+    }
+
+    def model_fn(p, x):
+        return jnp.tanh(x @ p["w1"]) @ p["w2"]
+
+    X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+    groups = [{"params": ["w1", "w2"], "criterion": vt.keep_top_k(6)}]
+
+    ((ev_x, vecs_x),) = vt.EighComputation(model_fn, loss).compute(
+        params, X, y, groups
+    )
+    ((ev_d, vecs_d),) = vt.EighComputation(
+        model_fn, loss, eig_backend="dc"
+    ).compute(params, X, y, groups)
+
+    assert np.allclose(np.asarray(ev_d), np.asarray(ev_x),
+                       rtol=1e-4, atol=5e-6)
+    # directions are normalized GLOBALLY across the param list — compare
+    # the concatenated per-direction vectors, sign-invariantly
+    flat_d = np.concatenate(
+        [np.asarray(v).reshape(v.shape[0], -1) for v in vecs_d], axis=1
+    )
+    flat_x = np.concatenate(
+        [np.asarray(v).reshape(v.shape[0], -1) for v in vecs_x], axis=1
+    )
+    dots = np.abs(np.sum(flat_d * flat_x, axis=1))
+    assert np.allclose(dots, 1.0, atol=5e-3), dots

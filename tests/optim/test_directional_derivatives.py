@@ -4,6 +4,7 @@
 at rtol=1e-5/atol=1e-4; λ at rtol=1e-5/atol=1e-5.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -190,3 +191,35 @@ def test_mc_gammas_lambdas_converge_to_exact():
                        rtol=2e-1, atol=1e-2)
     assert np.allclose(np.mean(l_sums, axis=0), l_sum_e,
                        rtol=2e-1, atol=5e-2)
+
+
+@pytest.mark.slow
+def test_dc_backend_matches_xla():
+    """eig_backend='dc' through the derivatives stage-1 pipeline at a size
+    where the D&C solver engages (NC = 256): γ/λ parity vs the default."""
+    rng = np.random.default_rng(13)
+    N, D_IN, H, C = 64, 6, 8, 4
+    params = {
+        "w1": jnp.asarray(rng.normal(size=(D_IN, H)) / 2, jnp.float32),
+        "w2": jnp.asarray(rng.normal(size=(H, C)) / 2, jnp.float32),
+    }
+
+    def model_fn(p, x):
+        return jnp.tanh(x @ p["w1"]) @ p["w2"]
+
+    X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+    groups = [{"params": ["w1", "w2"], "criterion": vt.keep_top_k(5)}]
+
+    (want,) = vt.DirectionalDerivativesComputation(model_fn, loss).compute(
+        params, X, y, groups
+    )
+    (got,) = vt.DirectionalDerivativesComputation(
+        model_fn, loss, eig_backend="dc"
+    ).compute(params, X, y, groups)
+    # γ sign follows the eigenvector sign → compare |γ|; λ is sign-free
+    assert np.allclose(np.abs(np.asarray(got[0])), np.abs(np.asarray(want[0])),
+                       rtol=1e-3, atol=1e-5)
+    assert np.allclose(np.asarray(got[1]), np.asarray(want[1]),
+                       rtol=1e-3, atol=1e-5)

@@ -420,3 +420,108 @@ def test_newton_step_dp_subsampled_rank_guard():
                         subsampling_ggn=[0, 5])
     with pytest.raises(ValueError, match="rank"):
         fn(params, X, y, None)
+
+
+def test_newton_step_dp_damping_callable():
+    """The reference's per-group damping callable protocol on the DP path:
+    δ from globally-gathered γ/λ matches the single-chip Computation class
+    fed the identical callable (ref damped_newton.py:140-176)."""
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    k = 4
+
+    def damping(evals, evecs, gammas, lambdas):
+        # depends on evals + sample statistics of γ/λ only (the Gram-space
+        # evecs column ORDER differs between DP and single-chip layouts)
+        return 0.5 + jnp.mean(jnp.abs(gammas), axis=0) + 0.1 * jnp.mean(
+            lambdas, axis=0
+        )
+
+    fn = newton_step_dp(model_fn, loss, mesh, k_top=k, damping=damping)
+    _, step_dp = fn(params, X, y, None)
+
+    comp = vt.DirectionalDampedNewtonComputation(model_fn, loss)
+    (step_sc,) = comp.compute(
+        params, X, y,
+        [{"params": ["b1", "w1", "w2"],  # alphabetical = ravel leaf order
+          "criterion": vt.keep_top_k(k), "damping": damping}],
+    )
+    flat_sc = np.concatenate([np.asarray(s).ravel() for s in step_sc])
+    flat_dp = np.asarray(ravel(step_dp))
+    assert np.allclose(flat_dp, flat_sc, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("solver", ["lobpcg", "dc"])
+def test_newton_step_dp_solver_knob(solver):
+    """solver="lobpcg"/"dc" on the DP Newton path matches solver="eigh"."""
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    k = 3
+
+    want = newton_step_dp(model_fn, loss, mesh, k_top=k, damping=1.0)(
+        params, X, y, None
+    )
+    got = newton_step_dp(model_fn, loss, mesh, k_top=k, damping=1.0,
+                         solver=solver)(params, X, y, None)
+    assert np.allclose(np.asarray(got[0]), np.asarray(want[0]),
+                       rtol=1e-4, atol=1e-6)
+    assert np.allclose(np.asarray(ravel(got[1])), np.asarray(ravel(want[1])),
+                       rtol=1e-3, atol=1e-5)
+
+
+def test_eigh_dp_criterion_solver_dc_and_lobpcg_rejected():
+    """The single-pass criterion path honors solver='dc' and rejects
+    'lobpcg' (cannot produce the full spectrum a criterion filters)."""
+    from vivit_tpu.parallel import eigh_dp
+
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    k = 3
+    crit = vt.keep_top_k(k, must_exceed=1e-5)
+
+    want = eigh_dp(model_fn, loss, mesh, criterion=crit)(params, X, y, None)
+    got = eigh_dp(model_fn, loss, mesh, criterion=crit, solver="dc")(
+        params, X, y, None
+    )
+    assert np.allclose(np.asarray(got[0]), np.asarray(want[0]),
+                       rtol=1e-5, atol=1e-7)
+
+    with pytest.raises(ValueError, match="full spectrum"):
+        eigh_dp(model_fn, loss, mesh, criterion=crit, solver="lobpcg")
+
+
+def test_newton_step_dp_structured_damping_callable_and_solver():
+    """Structured DP Newton: damping callable + solver knob parity."""
+    import flax.linen as nn
+
+    from vivit_tpu.models import MLP
+    from vivit_tpu.parallel import newton_step_dp_structured
+    from vivit_tpu.structured import newton_step_structured
+
+    mesh = _mesh()
+    rng = np.random.default_rng(3)
+    module = MLP((H, C))
+    X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+    variables = module.init(jax.random.PRNGKey(0), X[:1])
+    loss = vt.CrossEntropyLoss("mean")
+    k = 3
+
+    def damping(evals, evecs, gammas, lambdas):
+        return 1.0 + 0.2 * jnp.mean(lambdas, axis=0)
+
+    fn = newton_step_dp_structured(module, loss, mesh, k_top=k,
+                                   damping=damping, solver="dc")
+    evals_dp, step_dp = fn(variables, X, y, None)
+
+    step_sc = jax.jit(
+        lambda v, X, y: newton_step_structured(module, v, loss, X, y, k=k,
+                                               damping=damping)
+    )(variables, X, y)
+    flat_sc = np.concatenate([np.asarray(l).ravel() for l in step_sc])
+    assert np.isfinite(np.asarray(evals_dp)).all()
+    assert np.allclose(np.asarray(ravel(step_dp)), flat_sc,
+                       rtol=1e-3, atol=1e-5)

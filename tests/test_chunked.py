@@ -12,12 +12,18 @@ import pytest
 
 import vivit_tpu as vt
 from tests.implementation.cases import PROBLEMS
-from vivit_tpu.chunked import eigvalsh_streamed, gram_streamed
+from vivit_tpu.chunked import (
+    eigh_topk_streamed,
+    eigvalsh_streamed,
+    gram_streamed,
+    newton_step_streamed,
+)
 from vivit_tpu.ggn import ggn_sqrt_vt
 from vivit_tpu.gram import gram_matrix
 
 CASES = [p for p in PROBLEMS if p.name in
          ("mlp_CrossEntropyLoss_mean", "mlp_MSELoss_sum", "cnn_ce_mean")]
+MEAN_PROBLEMS = [p for p in PROBLEMS if p.loss.reduction == "mean"]
 
 
 @pytest.mark.parametrize("subsampling", [None, [2, 0]], ids=str)
@@ -73,3 +79,66 @@ def test_eigvalsh_streamed_group_paths():
     for g, w in zip(got, want):
         assert np.allclose(np.sort(np.asarray(g)), np.sort(np.asarray(w)),
                            rtol=1e-4, atol=5e-6)
+
+
+def test_eigvalsh_streamed_dc_backend():
+    """The streamed pipeline's eig_backend knob reaches the D&C solver."""
+    problem = PROBLEMS[0]
+    want = eigvalsh_streamed(problem.model_fn, problem.loss, problem.params,
+                             problem.X, problem.y)
+    got = eigvalsh_streamed(problem.model_fn, problem.loss, problem.params,
+                            problem.X, problem.y, eig_backend="dc")
+    assert np.allclose(np.asarray(got[0]), np.asarray(want[0]),
+                       rtol=1e-5, atol=1e-6)
+
+
+def test_eigh_topk_streamed_matches_standard():
+    """Streamed eigenpairs == the in-memory eigh_topk (evals + sign-free
+    eigenvector match)."""
+    problem = PROBLEMS[0]
+    k = 3
+    want_ev, want_vecs = jax.jit(
+        lambda p, X, y: vt.eigh_topk(problem.model_fn, problem.loss,
+                                     p, X, y, k)
+    )(problem.params, problem.X, problem.y)
+    got_ev, got_vecs = jax.jit(
+        lambda p, X, y: eigh_topk_streamed(problem.model_fn, problem.loss,
+                                           p, X, y, k)
+    )(problem.params, problem.X, problem.y)
+    assert np.allclose(np.asarray(got_ev), np.asarray(want_ev),
+                       rtol=1e-4, atol=5e-6)
+    flat_w = np.concatenate(
+        [np.asarray(v).reshape(k, -1) for v in want_vecs], axis=1)
+    flat_g = np.concatenate(
+        [np.asarray(v).reshape(k, -1) for v in got_vecs], axis=1)
+    dots = np.abs(np.sum(flat_w * flat_g, axis=1))
+    assert np.allclose(dots, 1.0, atol=1e-3), dots
+
+
+@pytest.mark.parametrize("sub_ggn", [None, (0, 2, 3)],
+                         ids=["full", "sub_ggn"])
+def test_newton_step_streamed_matches_topk(sub_ggn):
+    """Streamed damped Newton == newton_step_topk (the structured-result
+    parity bar of VERDICT r2 task 6), incl. dual sub-sampling and the
+    damping-callable protocol."""
+    problem = MEAN_PROBLEMS[0]
+    k = 3
+
+    def damping(evals, evecs, gammas, lambdas):
+        return 1.0 + 0.1 * jnp.mean(lambdas, axis=0)
+
+    want = jax.jit(
+        lambda p, X, y: vt.newton_step_topk(
+            problem.model_fn, problem.loss, p, X, y, k, damping=damping,
+            subsampling_ggn=sub_ggn,
+        )
+    )(problem.params, problem.X, problem.y)
+    got = jax.jit(
+        lambda p, X, y: newton_step_streamed(
+            problem.model_fn, problem.loss, p, X, y, k, damping=damping,
+            subsampling_ggn=sub_ggn,
+        )
+    )(problem.params, problem.X, problem.y)
+    for a, b in zip(got, want):
+        assert np.allclose(np.asarray(a), np.asarray(b),
+                           rtol=1e-4, atol=1e-6)

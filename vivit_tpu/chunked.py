@@ -14,6 +14,15 @@ vmapped engine's ``CF`` — an explicit ~``CF/2``× compute-for-memory trade
 (the i-slice is computed once per row, the j-slice recomputed inside a
 ``lax.scan`` whose ``lax.cond`` skips ``j > i``).  Use it when ``Vᵀ`` does
 not fit; use :func:`vivit_tpu.ggn.ggn_sqrt_vt` otherwise.
+
+Round 3 extends streaming beyond eigenvalues to the full pipeline matrix
+(the reference's incremental freeing covers *every* pipeline,
+vivit/utils/__init__.py:8-19, vivit/linalg/eigh.py:239-270):
+:func:`eigh_topk_streamed` re-streams the factors once more to accumulate
+the back-projection ``V ẽ`` factor-by-factor, and
+:func:`newton_step_streamed` runs the damped-Newton pipeline with ``Vᵀ g``
+piggybacked on the Gram stream (free — the i-slice is already resident) and
+one extra factor stream for the step's ``V``-application.
 """
 
 from typing import Any, Optional, Sequence
@@ -21,7 +30,7 @@ from typing import Any, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from vivit_tpu.ggn import _subsample, loss_hessian_sqrt
+from vivit_tpu.ggn import _subsample, batch_grad, loss_hessian_sqrt
 from vivit_tpu.losses import Loss
 from vivit_tpu.utils.checks import check_subsampling_unique
 from vivit_tpu.utils.tree import select_paths
@@ -53,27 +62,9 @@ def _pair_block(vt_i, vt_j, paths, precision=None):
     return total
 
 
-def gram_streamed(
-    model_fn,
-    loss: Loss,
-    params: Any,
-    X: jnp.ndarray,
-    y: jnp.ndarray,
-    *,
-    paths: Optional[Sequence[str]] = None,
-    subsampling: Optional[Sequence[int]] = None,
-    mc_samples: int = 0,
-    key: Optional[jax.Array] = None,
-    batch_size: Optional[int] = None,
-    precision=None,
-) -> jnp.ndarray:
-    """``[CF·S, CF·S]`` GGN Gram without materializing the full ``Vᵀ``.
-
-    Matches :func:`vivit_tpu.gram.gram_matrix` ∘
-    :func:`vivit_tpu.ggn.ggn_sqrt_vt` exactly (same scaling conventions,
-    same ``(c, n)`` c-major layout); peak memory is two ``[S, D]`` factor
-    slices instead of ``[CF, S, D]``.
-    """
+def _prepare_factors(model_fn, loss, params, X, y, *, paths, subsampling,
+                      mc_samples, key, batch_size):
+    """Shared stream setup: ``(paths, Xs, scaled factors [S, CF, C], N)``."""
     check_subsampling_unique(subsampling)
     if paths is None:
         from vivit_tpu.utils.tree import leaf_paths
@@ -94,13 +85,67 @@ def gram_streamed(
     factors = factors * jnp.sqrt(
         jnp.asarray(loss.rho(N) * N / S, dtype=factors.dtype)
     )
+    return tuple(paths), Xs, factors, N
+
+
+def _vtg_block(vt_i, grad_leaves, paths, precision=None):
+    """``[S, N_grad]`` block ``V_iᵀ g`` summed over the selected leaves."""
+    total = None
+    for (_, a), g in zip(select_paths(vt_i, paths), grad_leaves):
+        fa = jnp.reshape(a, (a.shape[0], -1))
+        fg = jnp.reshape(g, (g.shape[0], -1))
+        r = jnp.dot(fa, fg.T, preferred_element_type=jnp.float32,
+                    precision=precision)
+        total = r if total is None else total + r
+    return total
+
+
+def gram_streamed(
+    model_fn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    paths: Optional[Sequence[str]] = None,
+    subsampling: Optional[Sequence[int]] = None,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    batch_size: Optional[int] = None,
+    precision=None,
+    grad_leaves: Optional[Sequence[jnp.ndarray]] = None,
+):
+    """``[CF·S, CF·S]`` GGN Gram without materializing the full ``Vᵀ``.
+
+    Matches :func:`vivit_tpu.gram.gram_matrix` ∘
+    :func:`vivit_tpu.ggn.ggn_sqrt_vt` exactly (same scaling conventions,
+    same ``(c, n)`` c-major layout); peak memory is two ``[S, D]`` factor
+    slices instead of ``[CF, S, D]``.
+
+    ``grad_leaves`` (optional, ``[N_grad, *shape]`` arrays in ``paths``
+    order): also accumulate ``Vᵀ g`` row-blocks while each i-slice is
+    resident — the streamed equivalent of the derivatives pipeline's
+    ``V_t_g`` at no extra backward passes.  Returns ``(gram, v_t_g)`` then.
+    """
+    paths, Xs, factors, _ = _prepare_factors(
+        model_fn, loss, params, X, y, paths=paths, subsampling=subsampling,
+        mc_samples=mc_samples, key=key, batch_size=batch_size,
+    )
+    S = Xs.shape[0]
     cf = factors.shape[1]
 
     gram = jnp.zeros((cf * S, cf * S), jnp.float32)
     zero_block = jnp.zeros((S, S), jnp.float32)
+    vtg = (None if grad_leaves is None
+           else jnp.zeros((cf * S, grad_leaves[0].shape[0]), jnp.float32))
 
     for i in range(cf):  # unrolled: cf is small (classes / MC samples)
         vt_i = _vt_single_factor(model_fn, params, Xs, factors[:, i])
+        if grad_leaves is not None:
+            vtg = jax.lax.dynamic_update_slice(
+                vtg, _vtg_block(vt_i, grad_leaves, paths, precision),
+                (i * S, 0),
+            )
 
         def j_step(g, j, vt_i=vt_i, i=i):
             def compute(_):
@@ -121,7 +166,39 @@ def gram_streamed(
             return g, None
 
         gram, _ = jax.lax.scan(j_step, gram, jnp.arange(cf))
-    return gram
+    return gram if grad_leaves is None else (gram, vtg)
+
+
+def backproject_streamed(
+    model_fn,
+    params: Any,
+    Xs: jnp.ndarray,
+    factors: jnp.ndarray,
+    paths: Sequence[str],
+    weights: jnp.ndarray,
+):
+    """``V @ w`` for column-stacked Gram-space weights ``[CF·S, K]``.
+
+    Accumulates the back-projection factor-by-factor — the streamed
+    equivalent of :func:`vivit_tpu.gram.v_mat_prod` (reference per-param
+    ``V_mat_prod`` closures, vivit/linalg/eigh.py:267-270); peak memory is
+    one ``[S, D]`` factor slice plus the ``[K, D]`` accumulator.
+
+    Returns a list of ``[K, *param.shape]`` leaves in ``paths`` order.
+    """
+    S = Xs.shape[0]
+    cf = factors.shape[1]
+    out = None
+    for i in range(cf):
+        vt_i = _vt_single_factor(model_fn, params, Xs, factors[:, i])
+        w_i = jax.lax.dynamic_slice_in_dim(weights, i * S, S, axis=0)
+        leaves = [
+            jnp.einsum("s...,sk->k...", leaf, w_i)
+            for _, leaf in select_paths(vt_i, paths)
+        ]
+        out = (leaves if out is None
+               else [a + b for a, b in zip(out, leaves)])
+    return out
 
 
 def eigvalsh_streamed(
@@ -137,12 +214,17 @@ def eigvalsh_streamed(
     key: Optional[jax.Array] = None,
     precision: str = "highest",
     gram_precision: Optional[str] = None,
+    eig_backend: str = "xla",
 ):
     """Generic-path GGN eigenvalues in streaming memory mode.
 
     Same semantics as :func:`vivit_tpu.linalg.eigvalsh` for batches whose
     full ``Vᵀ`` exceeds HBM (e.g. 3c3d at ``N = 512``, ~18 GB).
+    ``eig_backend="dc"`` dispatches the eigendecomposition to the MXU-native
+    spectral-D&C solver (guarded) — the right default at streaming sizes,
+    where the Gram is large enough for dc's matmul advantage to dominate.
     """
+    from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
     from vivit_tpu.utils.tree import leaf_paths
 
@@ -150,13 +232,139 @@ def eigvalsh_streamed(
         group_paths = (tuple(leaf_paths(params)),)
     with jax.default_matmul_precision(precision):
         return tuple(
-            jnp.linalg.eigvalsh(
+            full_eigh(
                 gram_streamed(
                     model_fn, loss, params, X, y,
                     paths=tuple(paths), subsampling=subsampling,
                     mc_samples=mc_samples, key=key,
                     precision=_PRECISIONS[gram_precision],
-                )
-            )
+                ),
+                backend=eig_backend, eigenvectors=False,
+            )[0]
             for paths in group_paths
         )
+
+
+def eigh_topk_streamed(
+    model_fn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    k: int,
+    *,
+    paths: Optional[Sequence[str]] = None,
+    subsampling: Optional[Sequence[int]] = None,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    batch_size: Optional[int] = None,
+    precision: str = "highest",
+    gram_precision: Optional[str] = None,
+    eig_backend: str = "xla",
+):
+    """Top-``k`` GGN eigenpairs in streaming memory mode.
+
+    Same result as :func:`vivit_tpu.linalg.eigh_topk` for batches whose full
+    ``Vᵀ`` exceeds HBM: one factor stream builds the Gram, the
+    eigendecomposition is dense (the Gram is small), and a second factor
+    stream accumulates the back-projection ``V ẽ``.  Reference memory
+    strategy: incremental savefield freeing through the group-hook lifetime
+    (vivit/utils/__init__.py:8-19, vivit/linalg/eigh.py:239-270).
+    """
+    from vivit_tpu.eig import full_eigh
+    from vivit_tpu.gram import normalize
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+
+    with jax.default_matmul_precision(precision):
+        paths_t, Xs, factors, _ = _prepare_factors(
+            model_fn, loss, params, X, y, paths=paths,
+            subsampling=subsampling, mc_samples=mc_samples, key=key,
+            batch_size=batch_size,
+        )
+        gram = gram_streamed(
+            model_fn, loss, params, X, y, paths=paths_t,
+            subsampling=subsampling, mc_samples=mc_samples, key=key,
+            batch_size=batch_size, precision=_PRECISIONS[gram_precision],
+        )
+        evals, evecs = full_eigh(gram, backend=eig_backend)
+        evals_sel = evals[-k:]
+        leaves = backproject_streamed(
+            model_fn, params, Xs, factors, paths_t, evecs[:, -k:]
+        )
+        return evals_sel, normalize(leaves)
+
+
+def newton_step_streamed(
+    model_fn,
+    loss: Loss,
+    params: Any,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    k: int,
+    damping=1.0,
+    *,
+    paths: Optional[Sequence[str]] = None,
+    subsampling_grad: Optional[Sequence[int]] = None,
+    subsampling_ggn: Optional[Sequence[int]] = None,
+    mc_samples_ggn: int = 0,
+    key: Optional[jax.Array] = None,
+    batch_size: Optional[int] = None,
+    precision: str = "highest",
+    gram_precision: Optional[str] = None,
+    eig_backend: str = "xla",
+):
+    """Damped Newton step along the top-``k`` directions, streaming memory.
+
+    Same semantics as :func:`vivit_tpu.optim.newton_step_topk` (incl. the
+    scalar-or-callable ``damping`` protocol) without ever materializing the
+    full ``Vᵀ``: the Gram stream piggybacks ``Vᵀ g`` on each resident
+    i-slice, and the final ``V``-application of the Gram-space step runs as
+    one more factor stream.  Peak memory ≈ two ``[S, D]`` factor slices +
+    the per-sample gradients.
+    """
+    from vivit_tpu.eig import full_eigh
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+    from vivit_tpu.optim.utils import gammas_lambdas
+
+    if loss.reduction != "mean":
+        raise ValueError(
+            "Newton step requires reduction='mean' "
+            "(same restriction as the reference)."
+        )
+    check_subsampling_unique(subsampling_grad)
+    with jax.default_matmul_precision(precision):
+        N = batch_size if batch_size is not None else X.shape[0]
+        paths_t, Xs, factors, _ = _prepare_factors(
+            model_fn, loss, params, X, y, paths=paths,
+            subsampling=subsampling_ggn, mc_samples=mc_samples_ggn, key=key,
+            batch_size=batch_size,
+        )
+        S = Xs.shape[0]
+
+        grads = batch_grad(model_fn, loss, params, X, y,
+                           subsampling=subsampling_grad, batch_size=N)
+        # undo the 1/N BatchGrad convention → unscaled per-sample gradients
+        grad_leaves = [leaf * N for _, leaf in select_paths(grads, paths_t)]
+
+        gram, v_t_g = gram_streamed(
+            model_fn, loss, params, X, y, paths=paths_t,
+            subsampling=subsampling_ggn, mc_samples=mc_samples_ggn, key=key,
+            batch_size=batch_size, precision=_PRECISIONS[gram_precision],
+            grad_leaves=grad_leaves,
+        )
+        evals, evecs = full_eigh(gram, backend=eig_backend)
+        evals_sel = evals[-k:]
+        evecs_sel = evecs[:, -k:]
+        gammas, lambdas = gammas_lambdas(gram, evals_sel, evecs_sel, v_t_g, S)
+        delta = (damping(evals_sel, evecs_sel, gammas, lambdas)
+                 if callable(damping) else damping)
+        coefficients = (
+            -jnp.mean(gammas, axis=0)
+            / (jnp.mean(lambdas, axis=0) + delta)
+            / jnp.sqrt(evals_sel)
+        )
+        v = evecs_sel @ coefficients  # [CF·S]
+        leaves = backproject_streamed(
+            model_fn, params, Xs, factors, paths_t, v[:, None]
+        )
+        return [leaf[0] for leaf in leaves]

@@ -31,20 +31,22 @@ from vivit_tpu.utils.checks import check_subsampling_unique
 
 def _gram_eigh_all(model_fn, loss, params, X, y, *, group_paths, subsampling,
                    mc_samples, key, batch_size=None,
-                   precision="highest", gram_precision=None):
+                   precision="highest", gram_precision=None,
+                   eig_backend="xla"):
     """Stage 1: ``Vᵀ`` plus per-group (evals, evecs) of the Gram matrix."""
     with jax.default_matmul_precision(precision):
         return _gram_eigh_all_impl(
             model_fn, loss, params, X, y, group_paths=group_paths,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
             batch_size=batch_size,
-            gram_precision=gram_precision,
+            gram_precision=gram_precision, eig_backend=eig_backend,
         )
 
 
 def _gram_eigh_all_impl(model_fn, loss, params, X, y, *, group_paths,
                         subsampling, mc_samples, key, batch_size,
-                        gram_precision=None):
+                        gram_precision=None, eig_backend="xla"):
+    from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
 
     vt = ggn_sqrt_vt(
@@ -53,9 +55,10 @@ def _gram_eigh_all_impl(model_fn, loss, params, X, y, *, group_paths,
         batch_size=batch_size,
     )
     eigs = tuple(
-        jnp.linalg.eigh(
+        full_eigh(
             gram_matrix(vt, paths=paths,
-                        precision=_PRECISIONS[gram_precision])
+                        precision=_PRECISIONS[gram_precision]),
+            backend=eig_backend,
         )
         for paths in group_paths
     )
@@ -132,7 +135,9 @@ class EighComputation:
 
     ``param_groups`` entries must carry ``'params'`` (leaf paths) and
     ``'criterion'`` (``Callable[[ascending evals], List[int]]``), identical in
-    meaning to the reference.
+    meaning to the reference.  ``eig_backend="dc"`` dispatches the Gram
+    eigendecomposition to the MXU-native spectral-D&C solver
+    (:mod:`vivit_tpu.eigdc`) with its runtime guard.
     """
 
     def __init__(
@@ -145,6 +150,7 @@ class EighComputation:
         warn_small_eigvals: float = 1e-4,
         precision: str = "highest",
         gram_precision: Optional[str] = None,
+        eig_backend: str = "xla",
     ):
         check_subsampling_unique(subsampling)
         self._model_fn = model_fn
@@ -155,6 +161,7 @@ class EighComputation:
         self._warn_small_eigvals = warn_small_eigvals
         self._precision = precision
         self._gram_precision = gram_precision
+        self._eig_backend = eig_backend
         self._jit_cache: Dict = {}
         self._evals: Dict[int, jnp.ndarray] = {}
         self._evecs: Dict[int, List[jnp.ndarray]] = {}
@@ -170,6 +177,7 @@ class EighComputation:
                 mc_samples=self._mc_samples,
                 precision=self._precision,
                 gram_precision=self._gram_precision,
+                eig_backend=self._eig_backend,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

@@ -68,7 +68,7 @@ def newton_step_topk(
     X: jnp.ndarray,
     y: jnp.ndarray,
     k: int,
-    damping: float = 1.0,
+    damping=1.0,
     *,
     paths: Optional[Sequence[str]] = None,
     subsampling_grad: Optional[Sequence[int]] = None,
@@ -110,7 +110,12 @@ def newton_step_topk(
     gram, _, _, v_t_g = per_group[0]
     evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver)
     gammas, lambdas = gammas_lambdas(gram, evals_sel, evecs_sel, v_t_g, s_ggn)
-    dampings = damping * jnp.ones_like(evals_sel)
+    # damping: scalar or the reference's per-group callable (traced — must
+    # be jnp-compatible), vivit/optim/directional_damped_newton.py:140-176
+    if callable(damping):
+        dampings = damping(evals_sel, evecs_sel, gammas, lambdas)
+    else:
+        dampings = damping * jnp.ones_like(evals_sel)
     return newton_step_from_derivatives(
         vt, paths, evals_sel, evecs_sel, gammas, lambdas, dampings
     )
@@ -135,6 +140,7 @@ class DirectionalDampedNewtonComputation:
         warn_small_eigvals: float = 1e-4,
         precision: str = "highest",
         gram_precision: Optional[str] = None,
+        eig_backend: str = "xla",
     ):
         check_subsampling_unique(subsampling_grad)
         check_subsampling_unique(subsampling_ggn)
@@ -151,6 +157,7 @@ class DirectionalDampedNewtonComputation:
         self._warn_small_eigvals = warn_small_eigvals
         self._precision = precision
         self._gram_precision = gram_precision
+        self._eig_backend = eig_backend
         self._jit_cache: Dict = {}
         self._newton_steps: Dict[int, List[jnp.ndarray]] = {}
 
@@ -166,6 +173,7 @@ class DirectionalDampedNewtonComputation:
                 mc_samples_ggn=self._mc_samples_ggn,
                 precision=self._precision,
                 gram_precision=self._gram_precision,
+                eig_backend=self._eig_backend,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

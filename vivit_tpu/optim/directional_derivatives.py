@@ -83,6 +83,7 @@ class DirectionalDerivativesComputation:
         warn_small_eigvals: float = 1e-4,
         precision: str = "highest",
         gram_precision: Optional[str] = None,
+        eig_backend: str = "xla",
     ):
         check_subsampling_unique(subsampling_grad)
         check_subsampling_unique(subsampling_ggn)
@@ -99,6 +100,7 @@ class DirectionalDerivativesComputation:
         self._warn_small_eigvals = warn_small_eigvals
         self._precision = precision
         self._gram_precision = gram_precision
+        self._eig_backend = eig_backend
         self._jit_cache: Dict = {}
         self._gammas: Dict[int, jnp.ndarray] = {}
         self._lambdas: Dict[int, jnp.ndarray] = {}
@@ -115,6 +117,7 @@ class DirectionalDerivativesComputation:
                 mc_samples_ggn=self._mc_samples_ggn,
                 precision=self._precision,
                 gram_precision=self._gram_precision,
+                eig_backend=self._eig_backend,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

@@ -23,6 +23,7 @@ from typing import Any, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from vivit_tpu.eig import full_eigh
 from vivit_tpu.ggn import batch_grad, ggn_sqrt_vt
 from vivit_tpu.gram import gram_matrix, vt_mat_prod
 from vivit_tpu.losses import Loss
@@ -45,11 +46,15 @@ def derivatives_stage1(
     precision: str = "highest",
     gram_precision=None,
     compute_eigh: bool = True,
+    eig_backend: str = "xla",
 ):
     """Jittable stage 1: ``Vᵀ``, per-group Gram eigendecomposition, ``Vᵀ G``.
 
     Returns ``(vt, per_group)`` where each per-group entry is
     ``(gram [CFS, CFS], evals [CFS], evecs [CFS, CFS], V_t_g [CFS, N_grad])``.
+
+    ``eig_backend="dc"`` runs the Gram eigendecomposition through the
+    MXU-native spectral-D&C solver (:mod:`vivit_tpu.eigdc`, guarded).
     """
     with jax.default_matmul_precision(precision):
         return _derivatives_stage1_impl(
@@ -57,14 +62,14 @@ def derivatives_stage1(
             subsampling_grad=subsampling_grad, subsampling_ggn=subsampling_ggn,
             mc_samples_ggn=mc_samples_ggn, key=key, batch_size=batch_size,
             gram_precision=gram_precision,
-            compute_eigh=compute_eigh,
+            compute_eigh=compute_eigh, eig_backend=eig_backend,
         )
 
 
 def _derivatives_stage1_impl(
     model_fn, loss, params, X, y, *, group_paths, subsampling_grad,
     subsampling_ggn, mc_samples_ggn, key, batch_size,
-    gram_precision=None, compute_eigh=True,
+    gram_precision=None, compute_eigh=True, eig_backend="xla",
 ):
     if loss.reduction != "mean":
         raise ValueError(
@@ -90,7 +95,7 @@ def _derivatives_stage1_impl(
         gram = gram_matrix(vt, paths=paths,
                            precision=_PRECISIONS[gram_precision])
         if compute_eigh:
-            evals, evecs = jnp.linalg.eigh(gram)
+            evals, evecs = full_eigh(gram, backend=eig_backend)
         else:
             evals, evecs = None, None
         grad_leaves = [leaf for _, leaf in select_paths(grads, paths)]

@@ -300,9 +300,14 @@ def eigh_dp(
 
     * ``k_top``: static top-``k`` — a single fully-jitted call.
     * ``criterion``: arbitrary host-side eigenvalue filter (the reference's
-      per-group ``criterion``, vivit/linalg/eigh.py:119-127).  Runs a jitted
-      full-spectrum pass, filters on host, then a jitted back-projection of
-      the selected directions (one recompile per distinct selection *count*).
+      per-group ``criterion``, vivit/linalg/eigh.py:119-127).  Single-pass
+      design: one jitted Gram pass (the replicated ``[CN, CN]`` Gram comes
+      back to host), one host eigendecomposition + filter, then a jitted
+      back-projection of the selected directions (one recompile per
+      distinct selection *count*) — the ``Vᵀ`` transform runs twice but
+      the Gram build and eigh run once.  ``solver`` must be ``"eigh"`` or
+      ``"dc"`` here (``"lobpcg"`` cannot produce the full spectrum a
+      criterion filters).
     * ``warn_small_eigvals``: warn when selected eigenvalues fall below the
       threshold (reference vivit/linalg/eigh.py:255-262); emitted via
       ``jax.debug.callback`` so the jitted path stays async.
@@ -313,24 +318,24 @@ def eigh_dp(
     from vivit_tpu.linalg.utils import warn_if_small
     from vivit_tpu.utils.tree import unravel_like
 
-    def shard_body(params, X_l, y_l, key, select):
-        """``select(gram) -> (evals_sel, evecs_sel)`` picks directions."""
+    def shard_vt(params, X_l, y_l, key):
+        """This shard's ``V`` rows ``[cols_local, D]``."""
         n_local = X_l.shape[0]
         k = jax.lax.axis_size(axis_name)
         n_global = n_local * k
-        dev = jax.lax.axis_index(axis_name)
-        ids = dev * n_local + jnp.arange(n_local)
-
+        ids = jax.lax.axis_index(axis_name) * n_local + jnp.arange(n_local)
         vt = ggn_sqrt_vt(
             model_fn, loss, params, X_l, y_l,
             mc_samples=mc_samples, key=key,
             column_scale=jnp.sqrt(jnp.asarray(loss.rho(n_global))),
             sample_ids=ids,
         )
-        v_local = _flatten_vt(vt)
+        return _flatten_vt(vt)
+
+    def shard_project(v_local, evecs_sel):
+        """Back-project selected Gram eigenvectors: ``e = V ẽ`` (psum)."""
         cols_local = v_local.shape[0]
-        gram = sharded_gram(v_local, axis_name)
-        evals_sel, evecs_sel = select(gram)
+        dev = jax.lax.axis_index(axis_name)
         rows = jax.lax.dynamic_slice_in_dim(
             evecs_sel, dev * cols_local, cols_local, axis=0
         )
@@ -338,21 +343,7 @@ def eigh_dp(
         # normalize by the realized global norm (‖Vẽ‖ = √λ̃ analytically;
         # dividing by the realized norm is more robust — reference
         # vivit/linalg/utils.py:67-76)
-        e_par = e_par / jnp.linalg.norm(e_par, axis=0, keepdims=True)
-        return evals_sel, e_par
-
-    def make_shard_fn(select):
-        def per_shard(params, X_l, y_l, key):
-            with jax.default_matmul_precision(precision):
-                return shard_body(params, X_l, y_l, key, select)
-
-        return jax.shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(P(), P(axis_name), P(axis_name), P()),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
+        return e_par / jnp.linalg.norm(e_par, axis=0, keepdims=True)
 
     def stack_evecs(e_par, params, count):
         if count == 0:
@@ -371,7 +362,21 @@ def eigh_dp(
             )
 
     if criterion is None:
-        shard_fn = make_shard_fn(lambda g: topk_eigh(g, k_top, solver=solver))
+
+        def per_shard_topk(params, X_l, y_l, key):
+            with jax.default_matmul_precision(precision):
+                v_local = shard_vt(params, X_l, y_l, key)
+                gram = sharded_gram(v_local, axis_name)
+                evals_sel, evecs_sel = topk_eigh(gram, k_top, solver=solver)
+                return evals_sel, shard_project(v_local, evecs_sel)
+
+        shard_fn = jax.shard_map(
+            per_shard_topk,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
 
         def fn(params, X, y, key=None):
             evals, e_par = shard_fn(params, X, y, key)
@@ -380,26 +385,42 @@ def eigh_dp(
 
         return jax.jit(fn)
 
-    # criterion path: full spectrum → host filter → jitted back-projection
-    eigvals_fn = eigvalsh_dp(
-        model_fn, loss, mesh, mc_samples=mc_samples,
-        axis_name=axis_name, precision=precision,
-    )
-    def per_shard_selected(params, X_l, y_l, key, idx):
+    # criterion path (single-pass): Gram once → host eigh + filter →
+    # back-projection with the selected Gram eigenvectors passed in
+    from vivit_tpu.eig import full_eigh
+
+    backend = {"eigh": "xla", "dc": "dc"}.get(solver)
+    if backend is None:
+        raise ValueError(
+            f"solver={solver!r} cannot produce the full spectrum the "
+            "criterion filters — use 'eigh' or 'dc'."
+        )
+
+    def per_shard_gram(params, X_l, y_l, key):
         with jax.default_matmul_precision(precision):
+            return sharded_gram(shard_vt(params, X_l, y_l, key), axis_name)
 
-            def select(gram):
-                evals, evecs = jnp.linalg.eigh(gram)
-                return evals[idx], evecs[:, idx]
-
-            return shard_body(params, X_l, y_l, key, select)
-
-    selected_fn = jax.jit(  # one compile per distinct selection count
+    gram_fn = jax.jit(
         jax.shard_map(
-            per_shard_selected,
+            per_shard_gram,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    eigh_fn = jax.jit(lambda g: full_eigh(g, backend=backend))
+
+    def per_shard_project(params, X_l, y_l, key, evecs_sel):
+        with jax.default_matmul_precision(precision):
+            return shard_project(shard_vt(params, X_l, y_l, key), evecs_sel)
+
+    project_fn = jax.jit(  # one compile per distinct selection count
+        jax.shard_map(
+            per_shard_project,
             mesh=mesh,
             in_specs=(P(), P(axis_name), P(axis_name), P(), P()),
-            out_specs=(P(), P()),
+            out_specs=P(),
             check_vma=False,
         )
     )
@@ -407,12 +428,15 @@ def eigh_dp(
     def fn(params, X, y, key=None):
         import numpy as np
 
-        evals_all = np.asarray(eigvals_fn(params, X, y, key))
-        keep = np.asarray(criterion(evals_all), dtype=np.intp)
+        gram = gram_fn(params, X, y, key)
+        evals_all, evecs_all = eigh_fn(gram)
+        evals_np = np.asarray(evals_all)
+        keep = np.asarray(criterion(evals_np), dtype=np.intp)
         if warn_small_eigvals is not None:
-            warn_if_small(evals_all[keep], warn_small_eigvals)
-        evals, e_par = selected_fn(params, X, y, key, jnp.asarray(keep))
-        return evals, stack_evecs(e_par, params, len(keep))
+            warn_if_small(evals_np[keep], warn_small_eigvals)
+        e_par = project_fn(params, X, y, key, evecs_all[:, keep])
+        return jnp.asarray(evals_np[keep]), stack_evecs(e_par, params,
+                                                        len(keep))
 
     return fn
 
@@ -422,7 +446,7 @@ def newton_step_dp(
     loss: Loss,
     mesh: Mesh,
     k_top: int,
-    damping: float = 1.0,
+    damping=1.0,
     *,
     mc_samples: int = 0,
     axis_name: str = DEFAULT_AXIS,
@@ -430,6 +454,7 @@ def newton_step_dp(
     group_paths: Optional[Sequence[Sequence[str]]] = None,
     subsampling_grad: Optional[Sequence[int]] = None,
     subsampling_ggn: Optional[Sequence[int]] = None,
+    solver: str = "eigh",
 ) -> Callable:
     """Build a jitted data-parallel damped-Newton step (the full DP pipeline).
 
@@ -447,11 +472,22 @@ def newton_step_dp(
     vivit/optim/directional_derivatives.py:32-35); non-selected GGN columns
     are zeroed on their shard (static shapes) — same estimate, see
     :func:`_dp_column_scale`.
+
+    ``damping`` is a scalar or the reference's per-group callable
+    ``(evals [K], gram_evecs [cols, K], gammas [N, K], lambdas [N, K]) → δ
+    [K]`` (vivit/optim/directional_damped_newton.py:140-176), traced inside
+    the jitted shard program with the *globally gathered* γ/λ (sample order
+    = global ids).  Under sub-sampling, rows of non-selected samples are
+    exact zeros (static-shape DP semantics) — sample-reducing callables
+    must divide by ``|S|``, not the array length.  ``solver`` picks the
+    top-``k`` eigensolver: ``"eigh"`` (full XLA), ``"lobpcg"`` (skinny
+    iteration), or ``"dc"`` (MXU-native spectral D&C, guarded).
     """
     if loss.reduction != "mean":
         raise ValueError("Newton step requires reduction='mean'.")
     check_subsampling_unique(subsampling_grad)
     check_subsampling_unique(subsampling_ggn)
+    from vivit_tpu.eig import topk_eigh
     from vivit_tpu.utils.tree import select_paths, unravel_like
 
     def _check_rank(cf: int):
@@ -472,9 +508,7 @@ def newton_step_dp(
         v_local = _flatten_vt(vt, paths)  # [cols_local, D_g]
         cols_local = v_local.shape[0]
         gram = sharded_gram(v_local, axis_name)  # replicated
-        evals, evecs = jnp.linalg.eigh(gram)
-        evals_sel = evals[-k_top:]
-        evecs_sel = evecs[:, -k_top:]  # [cols_global, K]
+        evals_sel, evecs_sel = topk_eigh(gram, k_top, solver=solver)
 
         # parameter-space directions: e_k = V ẽ_k / √λ̃  (psum over shards)
         rows = jax.lax.dynamic_slice_in_dim(
@@ -503,7 +537,19 @@ def newton_step_dp(
             jax.lax.psum(jnp.sum(lambdas_local, axis=0), axis_name) / s_ggn
         )
 
-        coeff = -gamma_mean / (lambda_mean + damping)  # [K]
+        if callable(damping):
+            # reference protocol: the callable sees per-sample γ/λ — gather
+            # the batch-sharded arrays into global sample order
+            gammas_all = jax.lax.all_gather(
+                gammas_local, axis_name
+            ).reshape(-1, k_top)
+            lambdas_all = jax.lax.all_gather(
+                lambdas_local, axis_name
+            ).reshape(-1, k_top)
+            delta = damping(evals_sel, evecs_sel, gammas_all, lambdas_all)
+        else:
+            delta = damping
+        coeff = -gamma_mean / (lambda_mean + delta)  # [K]
         step_flat = e_par @ coeff  # [D_g], replicated
         return evals_sel, step_flat
 
@@ -619,12 +665,13 @@ def newton_step_dp_structured(
     loss: Loss,
     mesh: Mesh,
     k_top: int,
-    damping: float = 1.0,
+    damping=1.0,
     *,
     mc_samples: int = 0,
     axis_name: str = DEFAULT_AXIS,
     precision: str = "highest",
     gram_precision: str = None,
+    solver: str = "eigh",
 ) -> Callable:
     """Data-parallel damped-Newton step with the Dense fast path (flax).
 
@@ -635,7 +682,14 @@ def newton_step_dp_structured(
     and ``Vᵀg`` stay factored per shard and are ``psum``-assembled.
 
     ``fn(variables, X, y, key) -> (evals [k], step pytree like params)``.
+
+    ``damping``: scalar or per-group callable ``(evals, gram_evecs, gammas
+    [N, K], lambdas [N, K]) → δ [K]`` (reference protocol,
+    vivit/optim/directional_damped_newton.py:140-176) — γ/λ are gathered
+    into global sample order before the call.  ``solver``: ``"eigh"`` |
+    ``"lobpcg"`` | ``"dc"`` for the top-``k`` Gram eigensolver.
     """
+    from vivit_tpu.eig import topk_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
     from vivit_tpu.structured import (
         DenseFactor,
@@ -675,9 +729,7 @@ def newton_step_dp_structured(
             }
 
             gram = _structured_gram_dp(vt, 1.0, axis_name, gp)
-            evals, evecs = jnp.linalg.eigh(gram)
-            evals_sel = evals[-k_top:]
-            evecs_sel = evecs[:, -k_top:]  # [cols_global, K]
+            evals_sel, evecs_sel = topk_eigh(gram, k_top, solver=solver)
 
             # this chip's ẽ rows (global column order is (device, cf, n))
             first = vt[paths[0]]
@@ -722,7 +774,17 @@ def newton_step_dp_structured(
                 jnp.mean(lambdas_local, axis=0), axis_name
             )
 
-            coeff = -gamma_mean / (lambda_mean + damping)  # [K]
+            if callable(damping):
+                gammas_all = jax.lax.all_gather(
+                    gammas_local, axis_name
+                ).reshape(-1, k_top)
+                lambdas_all = jax.lax.all_gather(
+                    lambdas_local, axis_name
+                ).reshape(-1, k_top)
+                delta = damping(evals_sel, evecs_sel, gammas_all, lambdas_all)
+            else:
+                delta = damping
+            coeff = -gamma_mean / (lambda_mean + delta)  # [K]
             step_leaves = [
                 jnp.einsum("k,k...->...", coeff, e) for e in e_leaves
             ]

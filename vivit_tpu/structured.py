@@ -266,7 +266,7 @@ def newton_step_structured(
     X: jnp.ndarray,
     y: jnp.ndarray,
     k: int,
-    damping: float = 1.0,
+    damping=1.0,
     *,
     subsampling_grad: Optional[Sequence[int]] = None,
     subsampling_ggn: Optional[Sequence[int]] = None,
@@ -316,9 +316,14 @@ def newton_step_structured(
 
         gammas, lambdas = gammas_lambdas(gram, evals_sel, evecs_sel, v_t_g,
                                          s_ggn)
+        # damping: scalar or the reference's per-group callable
+        # ``(evals, gram_evecs, gammas, lambdas) -> δ [K]``
+        # (vivit/optim/directional_damped_newton.py:140-176)
+        delta = (damping(evals_sel, evecs_sel, gammas, lambdas)
+                 if callable(damping) else damping)
         coefficients = (
             -jnp.mean(gammas, axis=0)
-            / (jnp.mean(lambdas, axis=0) + damping)
+            / (jnp.mean(lambdas, axis=0) + delta)
             / jnp.sqrt(evals_sel)
         )
         v = evecs_sel @ coefficients
