@@ -51,6 +51,24 @@ def _time_fetch(fn, args, repeats):
     return float(np.median(times) * 1000), out
 
 
+def _measure_rtt(repeats=20):
+    """Tunnel round-trip of a trivial jitted fetch — subtracted nowhere,
+    but reported so net-of-RTT compute time is a recorded artifact, not a
+    hand calculation (VERDICT r2 weak #1)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jnp.zeros((8,), jnp.float32)
+    f = jax.jit(lambda x: x + 1.0)
+    np.asarray(f(tiny))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(f(tiny))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1000)
+
+
 def measure_vivit_tpu(n, repeats):
     import jax
 
@@ -235,15 +253,16 @@ def measure_torch_cpu(n, repeats=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=N_DEFAULT)
-    ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=20)
     ap.add_argument("--refresh-baseline", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--skip-secondary", action="store_true")
     args = ap.parse_args()
 
     ours_ms, evals = measure_vivit_tpu(args.batch, args.repeats)
+    rtt_ms = _measure_rtt()
 
-    extras = {}
+    extras = {"tunnel_rtt": rtt_ms, "headline_net_of_rtt": ours_ms - rtt_ms}
     if not args.skip_secondary:
         try:
             extras = measure_secondary(args.repeats)

@@ -6,7 +6,7 @@ test:
 	python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q -x -k "not mc_ggn_converges"
+	python -m pytest tests/ -q -x -m "not slow"
 
 bench:
 	python bench.py

@@ -27,8 +27,14 @@ def _vt_to_matrix(vt_tree):
     return np.concatenate(mats, axis=1)  # [CF·S, D]
 
 
+_P_MARKED = [
+    pytest.param(p, marks=pytest.mark.slow) if "kitchensink" in p.name else p
+    for p in PROBLEMS
+]
+
+
 @pytest.mark.parametrize("subsampling", SUBSAMPLINGS, ids=lambda s: f"sub={s}")
-@pytest.mark.parametrize("problem", PROBLEMS, ids=PROBLEM_IDS)
+@pytest.mark.parametrize("problem", _P_MARKED, ids=PROBLEM_IDS)
 def test_v_vt_equals_ggn(problem, subsampling):
     """V Vᵀ (materialized) equals the explicit (sub-sampled) GGN."""
     vt_tree = vt.ggn_sqrt_vt(problem.model_fn, problem.loss, problem.params,

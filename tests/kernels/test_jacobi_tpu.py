@@ -1,0 +1,54 @@
+"""Mosaic-compile lock for the Pallas Jacobi window kernel.
+
+The in-process suite forces the CPU interpreter (tests/conftest.py), so the
+kernel's actual Mosaic/TPU compile path — and the measured dispatch envelope
+``jacobi_supported`` rides on — is exercised here through a subprocess that
+keeps the default (axon/TPU) platform.  Skips cleanly when no TPU is
+attached (e.g. the driver's CPU-only CI).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_PROBE = r"""
+import jax, jax.numpy as jnp, numpy as np
+dev = jax.devices()[0].platform
+if dev not in ("tpu", "axon"):
+    print("NO_TPU")
+    raise SystemExit(0)
+from vivit_tpu.kernels.jacobi_pallas import batched_eigh_jacobi, jacobi_supported
+assert jacobi_supported((40, 32, 32), jnp.float32)
+rng = np.random.default_rng(1)
+A = rng.normal(size=(40, 32, 32)).astype(np.float32)
+A = (A + A.transpose(0, 2, 1)) / 2
+ev, V = batched_eigh_jacobi(jnp.asarray(A))
+ev, V = np.asarray(ev), np.asarray(V)
+ref = np.linalg.eigvalsh(A.astype(np.float64))
+assert np.abs(np.sort(ev, -1) - ref).max() < 1e-4, "eigenvalue parity"
+for i in range(0, 40, 13):
+    res = np.linalg.norm(A[i] @ V[i] - V[i] * ev[i][None, :])
+    assert res < 1e-3, f"residual {res}"
+    assert np.abs(V[i].T @ V[i] - np.eye(32)).max() < 1e-4, "orthonormality"
+print("TPU_JACOBI_OK")
+"""
+
+
+@pytest.mark.slow
+def test_pallas_jacobi_mosaic_compile():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))) + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE], env=env, capture_output=True,
+        text=True, timeout=900,
+    )
+    if "NO_TPU" in out.stdout:
+        pytest.skip("no TPU attached")
+    assert "TPU_JACOBI_OK" in out.stdout, out.stdout + out.stderr

@@ -42,7 +42,7 @@ SPECTRA = {
 def test_eigvalsh_dc_parity(solver, name):
     """With the default runtime guard, EVERY spectrum meets the parity bar:
     the solver detects its own weak regimes (wide exact degeneracies) via
-    the off-diagonal/orthonormality defect and falls back to XLA."""
+    the degenerate-capped perturbation bound and falls back to XLA."""
     A = _spectrum_matrix(SPECTRA[name])
     ref = np.linalg.eigvalsh(A.astype(np.float64))
     ev = np.sort(np.asarray(solver(jnp.asarray(A))))
@@ -71,9 +71,12 @@ def test_clustered_envelope_without_guard():
 
 
 @pytest.mark.slow
-def test_rank_deficient_falls_back_to_xla():
-    """Exact wide zero-degeneracy (the sub-sampled-DP Gram shape) trips the
-    orthonormality defect and lands on the XLA branch at full accuracy."""
+def test_rank_deficient_meets_bar_with_guard():
+    """Exact wide zero-degeneracy (the sub-sampled-DP Gram shape) meets the
+    parity bar under the default guard.  The degenerate-capped perturbation
+    bound deliberately IGNORES harmless null-space junk couplings, so this
+    regime stays on the fast dc path (measured: raw dc is already accurate
+    here — the junk directions cannot move eigenvalues above tolerance)."""
     lam = np.concatenate([np.zeros(200), np.exp(-np.linspace(0, 8, 312)) * 50])
     A = _spectrum_matrix(lam)
     ref = np.linalg.eigvalsh(A.astype(np.float64))

@@ -9,8 +9,16 @@ import pytest
 EXAMPLES = sorted(
     (pathlib.Path(__file__).parent.parent / "examples").glob("example_*.py")
 )
+# integration-heavy scripts (n=512 eigensolver / 8-device mesh) keep the
+# default edit-test loop fast by riding the `slow` marker
+_HEAVY = {"example_fast_eigensolver", "example_data_parallel"}
+EXAMPLES = [
+    pytest.param(p, marks=pytest.mark.slow) if p.stem in _HEAVY else p
+    for p in EXAMPLES
+]
 
 
-@pytest.mark.parametrize("script", EXAMPLES, ids=lambda p: p.stem)
+@pytest.mark.parametrize("script", EXAMPLES,
+                         ids=lambda p: p.stem if hasattr(p, "stem") else None)
 def test_example_runs(script):
     runpy.run_path(str(script), run_name="__main__")

@@ -50,6 +50,7 @@ def test_newton_step_lobpcg_matches_eigh_solver():
         assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_topk_dc_solver_matches_eigh():
     """solver='dc' slices the spectral-D&C decomposition."""
     import numpy as np

@@ -513,6 +513,7 @@ def eigh_dc(
     Q = jax.lax.fori_loop(0, 6, ns, Q)
 
     Bt = _compress(Q, H)
+    rayleigh0 = jnp.diag(Bt)  # column-aligned with Q (pre-sort), for guard
     # eigenvalues-only mode: the polish transforms update Bt alone — Q is
     # only needed to *return* vectors (roughly one n×n matmul saved per
     # polish transform)
@@ -540,16 +541,30 @@ def eigh_dc(
         return evals, evecs
 
     # ---- runtime self-check + XLA fallback ---------------------------------
-    # defect 1: un-annihilated off-diagonal mass of the polished Bt
-    # (clusters that straddled every window/bottom-block boundary);
-    # defect 2: basis orthonormality drift (rank-deficient column
-    # selection that the global NS re-orthonormalization could not fix).
-    Qc = evecs if eigenvectors else Q
-    scale = jnp.linalg.norm(Bt) + 1e-30
-    off = jnp.linalg.norm(Bt - jnp.diag(d)) / scale
-    gram_q = _mm(Qc.T, Qc)
-    orth = jnp.linalg.norm(gram_q - jnp.eye(n, dtype=_F32)) / np.sqrt(n)
-    bad = (off > guard) | (orth > guard) | jnp.any(jnp.isnan(d))
+    # defect 1: second-order eigenvalue-perturbation bound from the
+    # un-annihilated off-diagonal couplings, degenerate-capped:
+    # err_i ≲ Σ_j min(E_ij²/|d_i−d_j|, |E_ij|).  Unlike a raw Frobenius
+    # off-diagonal norm, this does NOT flag the harmless near-zero
+    # couplings among null-space junk columns of rank-deficient Grams
+    # (measured: healthy spectra incl. the CE bench Gram ≤ 3e-6, failing
+    # degenerate clusters ≥ 2e-3 — a 1000× separation).
+    E = Bt - jnp.diag(d)
+    lmax = jnp.max(jnp.abs(d)) + 1e-30
+    gap = jnp.abs(d[None, :] - d[:, None]) + jnp.eye(n, dtype=_F32)
+    term = jnp.minimum(E * E / jnp.maximum(gap, 1e-30), jnp.abs(E))
+    term = term * (1.0 - jnp.eye(n, dtype=_F32))
+    bound = jnp.max(jnp.sum(term, axis=1)) / lmax
+    # defect 2: orthonormality among the *significant* columns only —
+    # rank-deficient junk columns live in the null space and cannot move
+    # eigenvalues above the tolerance floor.  Column↔value alignment: the
+    # sorted eigenvectors pair with `evals`; the pre-polish basis Q pairs
+    # with its own Rayleigh diagonal (captured before the sort).
+    Qc, dq = (evecs, evals) if eigenvectors else (Q, rayleigh0)
+    sig = (jnp.abs(dq) > 1e-4 * lmax).astype(_F32)
+    gram_q = _mm(Qc.T, Qc) - jnp.eye(n, dtype=_F32)
+    gram_q = gram_q * (sig[:, None] * sig[None, :])
+    orth = jnp.linalg.norm(gram_q) / jnp.sqrt(jnp.sum(sig) + 1.0)
+    bad = (bound > guard) | (orth > guard) | jnp.any(jnp.isnan(d))
 
     if eigenvectors:
         return jax.lax.cond(
