@@ -74,7 +74,8 @@ def main():
 
     # ablation: basis only (chain + tree, no polish) — eigenvalues of the
     # compressed tridiagonal-ish Bt without refinement
-    cfg = {"base": 160, "chain": 6}
+    cfg = {"base": 160, "chain": 6, "sign_root": (11, 4), "sign": (9, 4),
+           "orth": (8, 3), "kpm": 96}
 
     @jax.jit
     def basis_only(M):
@@ -90,7 +91,7 @@ def main():
     @jax.jit
     def basis_shallow(M):
         Q, mask = eigdc._basis(M, jnp.asarray(n), key, 0,
-                               {"base": 160, "chain": 1})
+                               dict(cfg, chain=1))
         return jnp.sum(Q) + jnp.sum(mask)
 
     t_shallow = _median_ms(lambda: basis_shallow(H), args.reps)

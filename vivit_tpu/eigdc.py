@@ -95,12 +95,13 @@ def _power_norm(A, key, iters: int = 14):
     return jnp.linalg.norm(A @ v) * 1.05 + 1e-30
 
 
-def _sign_px(X, iters_px: int, iters_ns: int):
+def _sign_px(X, iters_px: int, iters_ns: int, prec=None):
     """Matrix sign of symmetric X with spectrum in [-1, 1]-ish.
 
     Two plain Newton-Schulz steps first: NS is globally stable for
     ``|x| ≤ √3`` whereas the polar-express polynomial diverges above ~1.3,
-    and the upstream norm is a power-iteration *estimate*.
+    and the upstream norm is a power-iteration *estimate*.  ``prec``
+    demotes the final NS polish matmuls (basis-stage precision knob).
     """
 
     def px(_, X):
@@ -111,7 +112,7 @@ def _sign_px(X, iters_px: int, iters_ns: int):
         return 1.5 * X - 0.5 * _mm(_mm(X, X, _MID), X, _MID)
 
     def ns(_, X):
-        return 1.5 * X - 0.5 * _mm(_mm(X, X), X)
+        return 1.5 * X - 0.5 * _mm(_mm(X, X, prec), X, prec)
 
     X = jax.lax.fori_loop(0, 2, ns_mid, X)
     X = jax.lax.fori_loop(0, iters_px, px, X)
@@ -125,7 +126,7 @@ def _holder_norm(Y):
     return jnp.sqrt(c * r) + 1e-30
 
 
-def _orth_px(Y, iters_px: int = 8, iters_ns: int = 3):
+def _orth_px(Y, iters_px: int = 8, iters_ns: int = 3, prec=None):
     """Panel polar-orthonormalization (rank-deficient tolerant).
 
     Normalized by the Hölder upper bound (never under-estimates, so the
@@ -139,13 +140,13 @@ def _orth_px(Y, iters_px: int = 8, iters_ns: int = 3):
         return _PX_A * Y + _mm(Y, _PX_B * G + _PX_C * _mm(G, G, _MID), _MID)
 
     def ns(_, Y):
-        return 1.5 * Y - 0.5 * _mm(Y, _mm(Y.T, Y))
+        return 1.5 * Y - 0.5 * _mm(Y, _mm(Y.T, Y, prec), prec)
 
     Y = jax.lax.fori_loop(0, iters_px, px, Y)
     return jax.lax.fori_loop(0, iters_ns, ns, Y)
 
 
-def _deskew(H, s, key):
+def _deskew(H, s, key, prec=None):
     """B = (x + f_32(x) + f_1024(x))/3 applied spectrally to H/s."""
     n = H.shape[0]
     I = jnp.eye(n, dtype=_F32)
@@ -159,7 +160,7 @@ def _deskew(H, s, key):
     X = X / jnp.where(nx > 1.15, nx, 1.0)
 
     def sq(_, X):
-        return _mm(X, X)
+        return _mm(X, X, prec)
 
     X = jax.lax.fori_loop(0, 5, sq, X)  # (1-x)^32
     f32_ = I - X
@@ -219,7 +220,7 @@ def _margin(k: int) -> int:
 
 
 def _split(B, count, key, sign_iters: Tuple[int, int], kc: int,
-           kpm_degree: int = 96):
+           kpm_degree: int = 96, prec=None):
     """One D&C split of a de-skewed node.
 
     Returns ``(P, W, PW, r_below, sigma, floored)`` where ``W = B @ Ω`` is
@@ -252,7 +253,7 @@ def _split(B, count, key, sign_iters: Tuple[int, int], kc: int,
 
     Xs = B - sigma * jnp.eye(k, dtype=_F32)
     nrm = _power_norm(Xs, k_sig)
-    U = _sign_px(Xs / nrm, *sign_iters)
+    U = _sign_px(Xs / nrm, *sign_iters, prec=prec)
     P = 0.5 * (jnp.eye(k, dtype=_F32) - U)
     r_below = jnp.round(jnp.trace(P)) - (k - count)
 
@@ -262,8 +263,8 @@ def _split(B, count, key, sign_iters: Tuple[int, int], kc: int,
     return P, W, PW, r_below, sigma, floored
 
 
-def _compress(Y, M):
-    C = _mm(Y.T, _mm(M, Y))
+def _compress(Y, M, prec=None):
+    C = _mm(Y.T, _mm(M, Y, prec), prec)
     return 0.5 * (C + C.T)
 
 
@@ -278,20 +279,21 @@ def _leaf_eigh(B_batch):
     return batched_eigh(B_batch)
 
 
-def _tree(B_batch, counts, lifts, key, base: int):
+def _tree(B_batch, counts, lifts, key, cfg):
     """Balanced level-batched D&C on de-skewed nodes (no zooms inside).
 
     Args:
         B_batch: ``[B, k, k]`` de-skewed node matrices.
         counts: ``[B]`` traced valid counts (valid = largest `count` values).
         lifts: ``[B, n0, k]`` isometries from the subtree root space.
-        base: leaf size threshold.
+        cfg: tuning dict (``base`` leaf threshold, ``sign``/``orth``
+            iteration pairs, ``kpm`` degree).
 
     Returns:
         ``(vals [B*L, kb], masks [B*L, kb], Q [n0, B*L*kb])`` flattened leaves.
     """
     k = B_batch.shape[-1]
-    if k <= base:
+    if k <= cfg["base"]:
         evals, evecs = _leaf_eigh(B_batch)  # ascending
         lifted = jnp.einsum("bnk,bkj->bnj", lifts, evecs)
         # valid = largest `count` values of each leaf
@@ -303,14 +305,17 @@ def _tree(B_batch, counts, lifts, key, base: int):
     bsz = B_batch.shape[0]
     keys = jax.random.split(key, bsz + 1)
 
+    prec = cfg["basis_prec"]
+
     def split_one(B, count, lift, kk):
-        P, W, PW, r, _, _ = _split(B, count, kk, (9, 4), kc)
+        P, W, PW, r, _, _ = _split(B, count, kk, cfg["sign"], kc,
+                                   kpm_degree=cfg["kpm"], prec=prec)
         r = jnp.clip(r, jnp.maximum(0, count - kc), jnp.minimum(count, kc))
-        Ym = _orth_px(PW)
+        Ym = _orth_px(PW, *cfg["orth"], prec=prec)
         Wp = W - PW
-        Yp = _orth_px(Wp)
-        Bm, Bp = _compress(Ym, B), _compress(Yp, B)
-        lm, lp = _mm(lift, Ym), _mm(lift, Yp)
+        Yp = _orth_px(Wp, *cfg["orth"], prec=prec)
+        Bm, Bp = _compress(Ym, B, prec), _compress(Yp, B, prec)
+        lm, lp = _mm(lift, Ym, prec), _mm(lift, Yp, prec)
         return Bm, Bp, r, count - r, lm, lp
 
     Bm, Bp, cm, cp, lm, lp = jax.vmap(split_one)(
@@ -319,7 +324,7 @@ def _tree(B_batch, counts, lifts, key, base: int):
     B2 = jnp.concatenate([Bm, Bp], axis=0)
     c2 = jnp.concatenate([cm, cp], axis=0)
     l2 = jnp.concatenate([lm, lp], axis=0)
-    return _tree(B2, c2, l2, keys[bsz], base)
+    return _tree(B2, c2, l2, keys[bsz], cfg)
 
 
 def _dm_iteration(Bt, Q, key, cap: float = 0.45, guard: float = 3.0):
@@ -404,12 +409,14 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate eigenbasis of H (columns ascending-ish) + validity mask."""
     n = H.shape[0]
     k_norm, k_split, k_zoom, k_tree, k_sub, k_dsk = jax.random.split(key, 6)
+    prec = cfg["basis_prec"]
     s = _power_norm(H, k_norm)
-    B = _deskew(H, s, k_dsk)
+    B = _deskew(H, s, k_dsk, prec=prec)
 
-    sign_iters = (11, 4) if depth == 0 else (9, 4)
+    sign_iters = cfg["sign_root"] if depth == 0 else cfg["sign"]
     kc = n // 2 + _margin(n)
-    P, W, PW, r, sigma, floored = _split(B, count, k_split, sign_iters, kc)
+    P, W, PW, r, sigma, floored = _split(B, count, k_split, sign_iters, kc,
+                                         kpm_degree=cfg["kpm"], prec=prec)
     r = jnp.clip(r, jnp.maximum(0, count - kc), count)
     r_z = jnp.minimum(r, kc)  # zoom capacity clip (drops sub-atol tail)
 
@@ -420,9 +427,9 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # orthonormalization can resolve (the smallest valid directions would
     # silently drop to zero).
     Om2 = jax.random.normal(k_zoom, (n, kc), _F32) / np.sqrt(n)
-    Wz = _mm(P, _mm(H, _mm(P, Om2)))
-    Yz = _orth_px(Wz)
-    Hz = _compress(Yz, H)
+    Wz = _mm(P, _mm(H, _mm(P, Om2, prec), prec), prec)
+    Yz = _orth_px(Wz, *cfg["orth"], prec=prec)
+    Hz = _compress(Yz, H, prec)
 
     # recurse while the zoom slot is too big for one exact leaf solve
     # (chain is a max-depth safeguard; the size rule drives termination —
@@ -439,10 +446,10 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
     # ---- top: balanced subtree on the de-skewed complement ------------------
     Wp = W - PW
-    Yp = _orth_px(Wp)
-    Bp = _compress(Yp, B)
+    Yp = _orth_px(Wp, *cfg["orth"], prec=prec)
+    Bp = _compress(Yp, B, prec)
     vals_t, masks_t, Qt = _tree(
-        Bp[None], (count - r)[None], Yp[None], k_tree, cfg["base"]
+        Bp[None], (count - r)[None], Yp[None], k_tree, cfg
     )
     # leaves: Qt [L, n, kb] -> [n, L*kb] columns, masks aligned
     Qt = jnp.moveaxis(Qt, 0, 1).reshape(n, -1)
@@ -463,6 +470,11 @@ def eigh_dc(
     bottom: int = 320,
     key: Optional[jax.Array] = None,
     guard: Optional[float] = 1e-4,
+    sign_iters_root: Tuple[int, int] = (11, 4),
+    sign_iters: Tuple[int, int] = (9, 4),
+    orth_iters: Tuple[int, int] = (8, 3),
+    kpm_degree: int = 96,
+    basis_prec: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full-spectrum eigendecomposition of a symmetric PSD matrix.
 
@@ -488,7 +500,16 @@ def eigh_dc(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    cfg = {"base": base, "chain": chain}
+    # basis_prec="high" demotes the basis-stage matmuls (de-skew squarings,
+    # sign/orth NS polish, subtree compressions) to bf16_3x — the polish on
+    # H stays full-precision, so the error floor (set by the final Rayleigh
+    # quotients) is untouched while large-n basis FLOPs halve.  Measured
+    # round-2c at n=1280: accuracy identical; the lever matters at n ≥ 4k
+    # where matmuls dominate over dispatch.
+    prec_map = {None: None, "highest": _HI, "high": _MID}
+    cfg = {"base": base, "chain": chain, "sign_root": tuple(sign_iters_root),
+           "sign": tuple(sign_iters), "orth": tuple(orth_iters),
+           "kpm": kpm_degree, "basis_prec": prec_map[basis_prec]}
     k_basis, *k_dm = jax.random.split(key, 1 + sum(dm_iters) + 2)
 
     Q, mask = _basis(H, jnp.asarray(n, jnp.int32), k_basis, 0, cfg)
