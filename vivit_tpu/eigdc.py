@@ -466,14 +466,14 @@ def eigh_dc(
     base: int = 160,
     chain: int = 6,
     eigenvectors: bool = True,
-    dm_iters: Tuple[int, int, int] = (3, 2, 2),
+    dm_iters: Tuple[int, int, int] = (2, 2, 1),
     bottom: int = 320,
     key: Optional[jax.Array] = None,
     guard: Optional[float] = 1e-4,
-    sign_iters_root: Tuple[int, int] = (11, 4),
+    sign_iters_root: Tuple[int, int] = (9, 4),
     sign_iters: Tuple[int, int] = (9, 4),
     orth_iters: Tuple[int, int] = (8, 3),
-    kpm_degree: int = 96,
+    kpm_degree: int = 64,
     basis_prec: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full-spectrum eigendecomposition of a symmetric PSD matrix.
@@ -501,11 +501,13 @@ def eigh_dc(
         key = jax.random.PRNGKey(0)
 
     # basis_prec="high" demotes the basis-stage matmuls (de-skew squarings,
-    # sign/orth NS polish, subtree compressions) to bf16_3x — the polish on
-    # H stays full-precision, so the error floor (set by the final Rayleigh
-    # quotients) is untouched while large-n basis FLOPs halve.  Measured
-    # round-2c at n=1280: accuracy identical; the lever matters at n ≥ 4k
-    # where matmuls dominate over dispatch.
+    # sign/orth NS polish, subtree compressions) to bf16_3x.  MEASURED ON
+    # TPU (round 3): this breaks reference-grade parity — errors land in
+    # the 1e-5..1e-4·λmax band, partly *under* the runtime guard's 1e-4
+    # threshold (559/1280 tolerance violations on the bench Gram while the
+    # fallback does not trigger).  Opt in only where 1e-3-grade spectra
+    # suffice; the round-2c "de-skew-only demotion is harmless" result
+    # does NOT extend to the NS/compress matmuls.
     prec_map = {None: None, "highest": _HI, "high": _MID}
     cfg = {"base": base, "chain": chain, "sign_root": tuple(sign_iters_root),
            "sign": tuple(sign_iters), "orth": tuple(orth_iters),
