@@ -265,7 +265,7 @@ def main():
     extras = {"tunnel_rtt": rtt_ms, "headline_net_of_rtt": ours_ms - rtt_ms}
     if not args.skip_secondary:
         try:
-            extras = measure_secondary(args.repeats)
+            extras.update(measure_secondary(args.repeats))
             for metric, ms in extras.items():
                 print(json.dumps({"metric": metric, "value": round(ms, 3),
                                   "unit": "ms", "vs_baseline": 0.0}))

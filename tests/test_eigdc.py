@@ -55,6 +55,22 @@ def test_eigvalsh_dc_parity(solver, name):
 
 
 @pytest.mark.slow
+def test_eigvalsh_dc_raw_parity_ggn_like():
+    """The primary spectrum WITHOUT the guard: locks the raw dc quality so
+    the XLA fallback cannot mask an accuracy regression as a silent 2×
+    performance regression (see the n=2048 test's docstring)."""
+    A = _spectrum_matrix(SPECTRA["ggn-like"])
+    ref = np.linalg.eigvalsh(A.astype(np.float64))
+    raw = jax.jit(lambda H: eigvalsh_dc(H, guard=None))
+    ev = np.sort(np.asarray(raw(jnp.asarray(A))))
+    err = np.abs(ev - ref)
+    tol = ATOL * max(1.0, abs(ref[-1])) + RTOL * np.abs(ref)
+    assert (err <= tol).all(), (
+        f"{int((err > tol).sum())}/{N} violations, max {err.max():.2e}"
+    )
+
+
+@pytest.mark.slow
 def test_clustered_envelope_without_guard():
     """``guard=None`` documents the raw envelope on the weak regime: up to
     ~half of heavily-degenerate cluster members at ≤~12% rel error (eigdc
@@ -113,6 +129,30 @@ def test_eigh_dc_full_basis_orthonormality():
     # global similarity defect: ‖A V − V diag(ev)‖_F relative to ‖A‖_F
     defect = np.linalg.norm(A @ V - V * ev[None, :]) / np.linalg.norm(A)
     assert defect < 5e-4, defect
+
+
+@pytest.mark.slow
+def test_eigvalsh_dc_parity_n2048():
+    """Production-size RAW parity (VERDICT r2 weak #2): n=2048 exercises
+    the deeper size-driven zoom chain and the w=64 polish windows that the
+    bench's 5120² Gram actually runs (n=512 terminates earlier), against a
+    float64 oracle.  ``guard=None`` is essential: this spectrum's failure
+    mode (a dropped carrier → plausible zero eigenvalue) is invisible to
+    the runtime guard, and with the guard on, an accuracy regression
+    silently becomes a 2× performance regression via the XLA fallback
+    (measured in round 3 — see docs/design.md, "validity misattribution").
+    Seed 11 is the stress seed (a borderline split-count rounding)."""
+    n = 2048
+    lam = np.exp(-np.linspace(0, 11, n)) * 250.0 + 1e-7
+    A = _spectrum_matrix(lam, seed=11)
+    ref = np.linalg.eigvalsh(A.astype(np.float64))
+    raw = jax.jit(lambda H: eigvalsh_dc(H, guard=None))
+    ev = np.sort(np.asarray(raw(jnp.asarray(A))))
+    err = np.abs(ev - ref)
+    tol = ATOL * max(1.0, abs(ref[-1])) + RTOL * np.abs(ref)
+    assert (err <= tol).all(), (
+        f"{int((err > tol).sum())}/{n} violations, max {err.max():.2e}"
+    )
 
 
 def test_small_matrix_falls_back_to_xla():

@@ -131,7 +131,9 @@ def _orth_px(Y, iters_px: int = 8, iters_ns: int = 3, prec=None):
 
     Normalized by the Hölder upper bound (never under-estimates, so the
     polar-express iterations cannot diverge); its ~2-3× overshoot costs one
-    or two extra iterations.
+    or two extra iterations.  Do NOT add iterations to chase weak
+    directions: the 3.44×/step ramp amplifies the junk columns' noise
+    floor into fake directions (measured round 3: wholesale corruption).
     """
     Y = Y / _holder_norm(Y)
 
@@ -213,10 +215,21 @@ _SIGMA_FLOOR = 0.04
 
 _MARGIN = 64
 
+# extra basis columns carried through the polish so borderline validity
+# attribution cannot drop a genuine carrier (see the selection comment in
+# eigh_dc); removed exactly at the end via PSD interlacing
+_PAD_SLACK = 32
+
 
 def _margin(k: int) -> int:
-    """Capacity slack: covers KPM rank error (~k/64) + stochastic noise."""
-    return int(np.clip(k // 8, 16, _MARGIN))
+    """Capacity slack: covers KPM rank error (~k/64) + stochastic noise.
+
+    The fixed 64 cap undercovers above k ≈ 2048 (the KPM count error keeps
+    growing ~k/64 and drift beyond the slack duplicates/drops directions
+    wholesale — measured at 5120: orthonormality defect 0.25, 3092/5120
+    violations); the ``k//32`` branch restores ≥2× coverage there while
+    leaving every validated size ≤ 2048 byte-identical."""
+    return max(int(np.clip(k // 8, 16, _MARGIN)), k // 32)
 
 
 def _split(B, count, key, sign_iters: Tuple[int, int], kc: int,
@@ -370,9 +383,12 @@ def _apply_blockdiag(Bt, Q, V, off: int, hi: int, w: int):
     cols = jnp.einsum("nbw,bwk->nbk", cols, V, precision=_HI)
     Bt = Bt.at[:, off:hi].set(cols.reshape(n, hi - off))
     if Q is not None:
-        qc = Q[:, off:hi].reshape(n, nb, w)
+        # Q may be rectangular [rows, m] (pad-slack columns): reshape by
+        # its own row count, not the pencil size
+        rows = Q.shape[0]
+        qc = Q[:, off:hi].reshape(rows, nb, w)
         qc = jnp.einsum("nbw,bwk->nbk", qc, V, precision=_HI)
-        Q = Q.at[:, off:hi].set(qc.reshape(n, hi - off))
+        Q = Q.at[:, off:hi].set(qc.reshape(rows, hi - off))
     return Bt, Q
 
 
@@ -516,16 +532,52 @@ def eigh_dc(
 
     Q, mask = _basis(H, jnp.asarray(n, jnp.int32), k_basis, 0, cfg)
 
-    # Select n columns, valid first.  When leaf counts under-claim
-    # (capacity clips dropped validity), the filler columns come from the
-    # invalid pool — rank them by column norm: range-finder junk columns
-    # sit at (near-)exact zero while genuinely duplicated directions keep
-    # ~unit norm and survive the global re-orthonormalization, so the
-    # largest-norm invalid columns are the only useful fillers.
+    # Select n + slack columns.  The traced validity counts are right up
+    # to rounding at split boundaries: a borderline ``round(trace(P))``
+    # (reduction-order sensitive!) can move a validity bit from a genuine
+    # unique direction onto a range-finder junk column.  Measured at
+    # n=2048: the sole carrier of the smallest eigendirection sat at
+    # column norm 0.999 with mask=False while three junk columns held
+    # mask=True, the tie-break dropped the carrier, and its eigenvalue
+    # came back as exact 0.  No column-local score can break such ties
+    # (the carriers are indistinguishable from duplicates at norm ~1), so
+    # don't choose at all: carry ``_PAD_SLACK`` extra columns.  For PSD
+    # ``H`` the compressed pencil's spectrum is the true spectrum on
+    # ``span(Q)`` plus one spurious ZERO per redundant column (Cauchy
+    # interlacing; the global NS collapses redundancy onto null singular
+    # directions), so the pad is removed exactly by dropping the
+    # ``_PAD_SLACK`` smallest eigenvalues at the end.
+    # Ranking for the m = n + slack picks: the mask stays DOMINANT — its
+    # bookkeeping is globally consistent (counts partition exactly to n)
+    # and keeps per-direction multiplicity low.  Ranking unit-norm columns
+    # above masked ones instead was measured to break rank-deficient Grams
+    # wholesale: the CE bench Gram's duplicated carriers (unit norm, both
+    # children) then pile up to multiplicity ≥ 3 and the global NS hits
+    # its σ = √3 stability boundary (911/1280 violations, orthonormality
+    # defect 0.30).  The pad slots go to the best invalid columns by norm,
+    # which is exactly where a mis-attributed carrier lands (norm ~1 vs
+    # junk ~0); a pad duplicate at multiplicity 2 (σ = √2) is inside the
+    # NS basin and collapses harmlessly onto the null space.
     colnorm = jnp.linalg.norm(Q, axis=0)
-    score = jnp.where(mask, 2.0 + colnorm, colnorm / (jnp.max(colnorm) + 1e-30))
-    _, order = jax.lax.top_k(score, n)
+    rel = colnorm / (jnp.max(colnorm) + 1e-30)
+    score = jnp.where(mask, 2.0, 0.0) + rel
+    m = n + min(_PAD_SLACK, Q.shape[1] - n)
+    _, order = jax.lax.top_k(score, m)
     Q = Q[:, order]
+
+    # Deflate the pad against the primary n columns (two projection passes
+    # — the primary basis is only near-orthonormal).  A pad column that
+    # duplicates a primary direction projects to ~0 and collapses onto the
+    # null space; a genuinely missing carrier is untouched (nothing in the
+    # primary basis overlaps it).  Without this, a duplicate PAIR does NOT
+    # go null under NS — the polar factor of [q, q] is a correlated pair
+    # with 0.5 mutual overlap (a partial isometry, not an orthonormal
+    # basis), which skews Ritz values across the spectrum (measured on the
+    # rank-deficient CE bench Gram: 202/1280 violations, max 1.7e-2).
+    Qn, Qpad = Q[:, :n], Q[:, n:]
+    for _ in range(2):
+        Qpad = Qpad - _mm(Qn, _mm(Qn.T, Qpad))
+    Q = jnp.concatenate([Qn, Qpad], axis=1)
 
     # global re-orthonormalization (cross-leaf leakage breaks Ritz accuracy;
     # eigenvector mode needs near-duplicate columns fully separated, which
@@ -542,23 +594,35 @@ def eigh_dc(
     # polish transform)
     Qp = Q if eigenvectors else None
     Bt, Qp = _sort_by_diag(Bt, Qp)
+    # window width scales once with problem size: at n ≥ 2048 the relative
+    # eigenvalue spacing of a GGN-like spectrum falls under the residual
+    # coupling magnitude at w=32 span, and a mid-spectrum cluster can leave
+    # one Ritz value ~1e-3·λ off (measured at n=2048, seed-dependent);
+    # w=64 restores the margin (err/tol 1.1 → ≤0.97 across seeds) for
+    # +0.5% polish FLOPs.  Below 2048 the validated w=32 stands.
+    w = 64 if Bt.shape[0] >= 2048 else 32
     it = iter(k_dm)
     for _ in range(dm_iters[0]):
         Bt, Qp = _dm_iteration(Bt, Qp, next(it))
-    Bt, Qp = _windowed_jacobi(Bt, Qp)
+    Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     for _ in range(dm_iters[1]):
         Bt, Qp = _dm_iteration(Bt, Qp, next(it))
-    Bt, Qp = _windowed_jacobi(Bt, Qp)
+    Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     Bt, Qp = _bottom_block(Bt, Qp, bottom)
     # clusters straddling the bottom-block boundary: one more local sweep
-    Bt, Qp = _windowed_jacobi(Bt, Qp)
+    Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     for _ in range(dm_iters[2]):
         Bt, Qp = _dm_iteration(Bt, Qp, next(it))
 
     d = jnp.diag(Bt)
     order = jnp.argsort(d)
-    evals = d[order]
-    evecs = Qp[:, order] if eigenvectors else None
+    # drop the pad: the (m - n) redundant columns collapsed to spurious
+    # zeros — for PSD H these are the smallest entries of the ascending
+    # spectrum (up to the f32 noise floor around 0, where true and
+    # spurious zeros are interchangeable anyway)
+    pad = m - n
+    evals = d[order][pad:]
+    evecs = Qp[:, order][:, pad:] if eigenvectors else None
 
     if guard is None:
         return evals, evecs
@@ -573,9 +637,10 @@ def eigh_dc(
     # degenerate clusters ≥ 2e-3 — a 1000× separation).
     E = Bt - jnp.diag(d)
     lmax = jnp.max(jnp.abs(d)) + 1e-30
-    gap = jnp.abs(d[None, :] - d[:, None]) + jnp.eye(n, dtype=_F32)
+    I_m = jnp.eye(m, dtype=_F32)
+    gap = jnp.abs(d[None, :] - d[:, None]) + I_m
     term = jnp.minimum(E * E / jnp.maximum(gap, 1e-30), jnp.abs(E))
-    term = term * (1.0 - jnp.eye(n, dtype=_F32))
+    term = term * (1.0 - I_m)
     bound = jnp.max(jnp.sum(term, axis=1)) / lmax
     # defect 2: orthonormality among the *significant* columns only —
     # rank-deficient junk columns live in the null space and cannot move
@@ -584,10 +649,19 @@ def eigh_dc(
     # with its own Rayleigh diagonal (captured before the sort).
     Qc, dq = (evecs, evals) if eigenvectors else (Q, rayleigh0)
     sig = (jnp.abs(dq) > 1e-4 * lmax).astype(_F32)
-    gram_q = _mm(Qc.T, Qc) - jnp.eye(n, dtype=_F32)
+    gram_q = _mm(Qc.T, Qc) - jnp.eye(Qc.shape[1], dtype=_F32)
     gram_q = gram_q * (sig[:, None] * sig[None, :])
     orth = jnp.linalg.norm(gram_q) / jnp.sqrt(jnp.sum(sig) + 1.0)
     bad = (bound > guard) | (orth > guard) | jnp.any(jnp.isnan(d))
+    # surface the fallback on the host: a tripped guard silently DOUBLES
+    # cost (the dc work is already spent when the XLA branch runs) — at
+    # 5120² that was measured as 2.96 s vs 1.72 s plain XLA.  Users tuning
+    # for throughput must know the fast path is not engaging.  The axon
+    # (tunneled-TPU) PJRT plugin does not support host callbacks at all
+    # (measured: UNIMPLEMENTED at runtime; it reports platform "tpu", so
+    # sniff the plugin via platform_version), hence the trace-time gate.
+    if _host_callbacks_supported():
+        jax.debug.callback(_warn_on_fallback, bad, bound, orth, ordered=False)
 
     if eigenvectors:
         return jax.lax.cond(
@@ -597,6 +671,32 @@ def eigh_dc(
         bad, lambda: jnp.linalg.eigvalsh(H), lambda: evals
     )
     return evals, None
+
+
+def _host_callbacks_supported() -> bool:
+    """The axon tunneled-TPU PJRT plugin rejects jax host callbacks
+    (io_callback / pure_callback / debug.callback) with UNIMPLEMENTED.
+    It identifies as platform "tpu"; the plugin name only shows in
+    ``platform_version``."""
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        return True
+    return "axon" not in version
+
+
+def _warn_on_fallback(bad, bound, orth):
+    if bad:
+        import warnings
+
+        warnings.warn(
+            "eigh_dc runtime guard tripped (perturbation bound "
+            f"{float(bound):.2e}, orthonormality {float(orth):.2e}): "
+            "falling back to jnp.linalg.eigh INSIDE the same program — "
+            "this call paid for both solvers.  If this repeats, use "
+            "eig_backend='xla' (or backend='xla') for this spectrum.",
+            stacklevel=2,
+        )
 
 
 def eigvalsh_dc(H: jnp.ndarray, **kwargs) -> jnp.ndarray:

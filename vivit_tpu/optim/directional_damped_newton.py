@@ -79,6 +79,7 @@ def newton_step_topk(
     precision: str = "highest",
     gram_precision: Optional[str] = None,
     solver: str = "eigh",
+    lobpcg_iters: int = 100,
 ) -> List[jnp.ndarray]:
     """Fully-jittable damped Newton step along the top-``k`` directions.
 
@@ -108,7 +109,8 @@ def newton_step_topk(
         compute_eigh=False,
     )
     gram, _, _, v_t_g = per_group[0]
-    evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver)
+    evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver,
+                                     lobpcg_iters=lobpcg_iters)
     gammas, lambdas = gammas_lambdas(gram, evals_sel, evecs_sel, v_t_g, s_ggn)
     # damping: scalar or the reference's per-group callable (traced — must
     # be jnp-compatible), vivit/optim/directional_damped_newton.py:140-176

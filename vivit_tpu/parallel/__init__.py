@@ -356,7 +356,10 @@ def eigh_dp(
         return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *leaves)
 
     def maybe_warn(evals_sel):
-        if warn_small_eigvals is not None:
+        # the axon tunneled-TPU plugin rejects host callbacks (UNIMPLEMENTED)
+        from vivit_tpu.eigdc import _host_callbacks_supported
+
+        if warn_small_eigvals is not None and _host_callbacks_supported():
             jax.debug.callback(
                 lambda ev: warn_if_small(ev, warn_small_eigvals), evals_sel
             )

@@ -275,6 +275,7 @@ def newton_step_structured(
     precision: str = "highest",
     gram_precision: Optional[str] = None,
     solver: str = "eigh",
+    lobpcg_iters: int = 100,
 ) -> List[jnp.ndarray]:
     """Damped Newton step with the Dense fast path (jittable, flax models).
 
@@ -307,7 +308,8 @@ def newton_step_structured(
         gram = gram_matrix_mixed(
             vt, paths, generic_precision=_PRECISIONS[gram_precision]
         )
-        evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver)
+        evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver,
+                                         lobpcg_iters=lobpcg_iters)
 
         grads = batch_grad(model_fn, loss, params, X, y,
                            subsampling=subsampling_grad)
