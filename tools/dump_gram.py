@@ -1,0 +1,55 @@
+"""Dump the benchmark Gram matrix (CIFAR-10 3c3d, exact GGN) to .npy.
+
+Produces the exact PSD matrix the headline benchmark eigendecomposes, so
+eigensolver profiling/tuning (tools/profile_eigdc.py --gram ...) runs on the
+real spectrum (5-decade skew, CE rank deficiency) rather than synthetics.
+
+Usage: ``python tools/dump_gram.py [--batch 128] [--out /tmp/gram1280.npy]``
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+    out = args.out or f"/tmp/gram{args.batch * 10}.npy"
+
+    import vivit_tpu as vt
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+    from vivit_tpu.models import CNN3c3d
+    from vivit_tpu.structured import gram_matrix_mixed, structured_ggn_sqrt_vt
+
+    module = CNN3c3d(10)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.ones((1, 32, 32, 3), jnp.float32))
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(args.batch, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, size=(args.batch,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+
+    @jax.jit
+    def gram_fn(v, X, y):
+        with jax.default_matmul_precision("highest"):
+            vt_mixed = structured_ggn_sqrt_vt(module, v, loss, X, y)
+            return gram_matrix_mixed(
+                vt_mixed, generic_precision=_PRECISIONS["bf16"]
+            )
+
+    G = np.asarray(gram_fn(variables, X, y))
+    np.save(out, G)
+    print(f"saved {G.shape} gram to {out}  (fro={np.linalg.norm(G):.4g})")
+
+
+if __name__ == "__main__":
+    main()

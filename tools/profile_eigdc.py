@@ -74,8 +74,7 @@ def main():
 
     # ablation: basis only (chain + tree, no polish) — eigenvalues of the
     # compressed tridiagonal-ish Bt without refinement
-    cfg = {"base": 160, "chain": 6, "sign_root": (9, 4), "sign": (9, 4),
-           "orth": (8, 3), "kpm": 64, "basis_prec": None}
+    cfg = eigdc._make_cfg()
 
     @jax.jit
     def basis_only(M):

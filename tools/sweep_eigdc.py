@@ -1,0 +1,102 @@
+"""On-device config sweep for the spectral-D&C eigensolver.
+
+Times ``eigvalsh_dc`` / ``eigh_dc`` variants on a real saved Gram
+(tools/dump_gram.py) with ``guard=None`` (raw — the guard masks accuracy
+regressions as silent 2x cost, docs/design.md) and reports the deviation vs
+on-device XLA f32.  Final accuracy claims still require the CPU float64
+oracle suite (tests/test_eigdc.py); this tool is for *time* attribution and
+coarse on-device screening of precision/iteration variants.
+
+Usage::
+
+    python tools/dump_gram.py --batch 128 --out /tmp/gram1280.npy
+    python tools/sweep_eigdc.py --gram /tmp/gram1280.npy [--vectors]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RTOL, ATOL = 1e-4, 5e-6
+
+
+def _median_ms(fn, arg, reps):
+    out = np.asarray(fn(arg))  # compile + fetch barrier
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = np.asarray(fn(arg))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts)), out
+
+
+CONFIGS = {
+    "default": {},
+    "q=high": {"q_prec": "high"},
+    "deskew=high": {"deskew_prec": "high"},
+    "q+deskew=high": {"q_prec": "high", "deskew_prec": "high"},
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gram", type=str, required=True)
+    ap.add_argument("--reps", type=int, default=7)
+    ap.add_argument("--vectors", action="store_true",
+                    help="also time/check eigenvector mode")
+    ap.add_argument("--configs", type=str, default=None,
+                    help="comma-separated subset of config names")
+    args = ap.parse_args()
+
+    from vivit_tpu.eigdc import eigh_dc, eigvalsh_dc
+
+    H = jnp.asarray(np.load(args.gram), jnp.float32)
+    n = H.shape[0]
+    print(f"device={jax.devices()[0].platform}  n={n}  reps={args.reps}")
+
+    t_xla, ref = _median_ms(jax.jit(jnp.linalg.eigvalsh), H, args.reps)
+    lmax = abs(ref[-1])
+    tol = ATOL * max(1.0, lmax) + RTOL * np.abs(ref)
+    print(f"{'xla_eigvalsh':24s} {t_xla:8.2f} ms")
+
+    names = list(CONFIGS) if args.configs is None else args.configs.split(",")
+    for name in names:
+        kw = CONFIGS[name]
+        fn = jax.jit(lambda M, kw=kw: eigvalsh_dc(M, guard=None, **kw))
+        ms, ev = _median_ms(fn, H, args.reps)
+        ev = np.sort(ev)
+        err = np.abs(ev - ref)
+        viol = int((err > tol).sum())
+        top40 = np.max(err[-40:] / np.abs(ref[-40:]))
+        print(f"{name:24s} {ms:8.2f} ms  viol(vs xla-f32) {viol}/{n}"
+              f"  top40rel {top40:.1e}  max/λmax {err.max() / lmax:.1e}")
+
+    if args.vectors:
+        print("-- eigenvector mode --")
+        t_xla_v, _ = _median_ms(
+            jax.jit(lambda M: jnp.linalg.eigh(M)[0]), H, args.reps
+        )
+        print(f"{'xla_eigh':24s} {t_xla_v:8.2f} ms")
+        for name in names:
+            kw = CONFIGS[name]
+
+            def run(M, kw=kw):
+                ev, V = eigh_dc(M, guard=None, **kw)
+                # fold V into the fetch barrier without shipping n² floats
+                return ev + jnp.sum(V, axis=0) * 0.0
+
+            ms, ev = _median_ms(jax.jit(run), H, args.reps)
+            err = np.abs(np.sort(ev) - ref)
+            viol = int((err > tol).sum())
+            print(f"{name:24s} {ms:8.2f} ms  viol(vs xla-f32) {viol}/{n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -328,7 +328,8 @@ def _tree(B_batch, counts, lifts, key, cfg):
         Wp = W - PW
         Yp = _orth_px(Wp, *cfg["orth"], prec=prec)
         Bm, Bp = _compress(Ym, B, prec), _compress(Yp, B, prec)
-        lm, lp = _mm(lift, Ym, prec), _mm(lift, Yp, prec)
+        qp = prec or cfg["q_prec"]
+        lm, lp = _mm(lift, Ym, qp), _mm(lift, Yp, qp)
         return Bm, Bp, r, count - r, lm, lp
 
     Bm, Bp, cm, cp, lm, lp = jax.vmap(split_one)(
@@ -340,8 +341,20 @@ def _tree(B_batch, counts, lifts, key, cfg):
     return _tree(B2, c2, l2, keys[bsz], cfg)
 
 
-def _dm_iteration(Bt, Q, key, cap: float = 0.45, guard: float = 3.0):
-    """One Davies-Modi refinement step (spectral-norm-capped)."""
+def _dm_iteration(Bt, Q, key, cap: float = 0.45, guard: float = 3.0,
+                  q_prec=None):
+    """One Davies-Modi refinement step (spectral-norm-capped).
+
+    ``q_prec`` demotes the rotation-side matmuls (the NS orthonormalization
+    of ``Y`` and the ``Q`` update); the ``Bt`` compression itself (the
+    eigenvalue carrier) always runs at HIGHEST.  MEASURED ON TPU (round 3,
+    tools/sweep_eigdc.py on the bench Gram): ``q_prec="high"`` is NOT
+    parity-safe — top-40 relative deviation 2.1e-4 (bar: 1e-4) for only
+    ~4 ms at 1280².  The bf16_3x error does not stay second-order: it
+    accumulates through the 6-iteration global NS into an orthonormality
+    floor that moves Ritz values first-order.  Opt-in for 1e-3-grade use
+    only, like ``basis_prec``.
+    """
     n = Bt.shape[0]
     d = jnp.diag(Bt)
     E = Bt - jnp.diag(d)
@@ -355,11 +368,11 @@ def _dm_iteration(Bt, Q, key, cap: float = 0.45, guard: float = 3.0):
     Y = jnp.eye(n, dtype=_F32) + X
 
     def ns(_, Y):
-        return 1.5 * Y - 0.5 * _mm(Y, _mm(Y.T, Y))
+        return 1.5 * Y - 0.5 * _mm(Y, _mm(Y.T, Y, q_prec), q_prec)
 
     Y = jax.lax.fori_loop(0, 2, ns, Y)
     Bt = _compress(Y, Bt)
-    Q = _mm(Q, Y) if Q is not None else None
+    Q = _mm(Q, Y, q_prec) if Q is not None else None
     return Bt, Q
 
 
@@ -427,7 +440,7 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
     k_norm, k_split, k_zoom, k_tree, k_sub, k_dsk = jax.random.split(key, 6)
     prec = cfg["basis_prec"]
     s = _power_norm(H, k_norm)
-    B = _deskew(H, s, k_dsk, prec=prec)
+    B = _deskew(H, s, k_dsk, prec=prec or cfg["deskew_prec"])
 
     sign_iters = cfg["sign_root"] if depth == 0 else cfg["sign"]
     kc = n // 2 + _margin(n)
@@ -453,10 +466,10 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # the documented degenerate-cluster envelope at small n)
     if depth + 1 < cfg["chain"] and kc > int(1.5 * cfg["base"]):
         Qz, mz = _basis(Hz, r_z, k_sub, depth + 1, cfg)
-        Qz = _mm(Yz, Qz)
+        Qz = _mm(Yz, Qz, prec or cfg["q_prec"])
     else:
         evz, Vz = _leaf_eigh(Hz[None])
-        Qz = _mm(Yz, Vz[0])
+        Qz = _mm(Yz, Vz[0], prec or cfg["q_prec"])
         pos = jnp.arange(kc)
         mz = pos >= (kc - r_z)
 
@@ -476,6 +489,17 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return Q, mask
 
 
+def _make_cfg(base=160, chain=6, sign_root=(9, 4), sign=(9, 4), orth=(8, 3),
+              kpm=64, basis_prec=None, q_prec=None, deskew_prec=None):
+    """Build the internal tuning dict (single source of the key set — the
+    profiler/sweep tools construct cfgs too and must not drift)."""
+    prec_map = {None: None, "highest": _HI, "high": _MID}
+    return {"base": base, "chain": chain, "sign_root": tuple(sign_root),
+            "sign": tuple(sign), "orth": tuple(orth), "kpm": kpm,
+            "basis_prec": prec_map[basis_prec], "q_prec": prec_map[q_prec],
+            "deskew_prec": prec_map[deskew_prec]}
+
+
 def eigh_dc(
     H: jnp.ndarray,
     *,
@@ -491,6 +515,8 @@ def eigh_dc(
     orth_iters: Tuple[int, int] = (8, 3),
     kpm_degree: int = 64,
     basis_prec: Optional[str] = None,
+    q_prec: Optional[str] = None,
+    deskew_prec: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full-spectrum eigendecomposition of a symmetric PSD matrix.
 
@@ -524,10 +550,19 @@ def eigh_dc(
     # fallback does not trigger).  Opt in only where 1e-3-grade spectra
     # suffice; the round-2c "de-skew-only demotion is harmless" result
     # does NOT extend to the NS/compress matmuls.
-    prec_map = {None: None, "highest": _HI, "high": _MID}
-    cfg = {"base": base, "chain": chain, "sign_root": tuple(sign_iters_root),
-           "sign": tuple(sign_iters), "orth": tuple(orth_iters),
-           "kpm": kpm_degree, "basis_prec": prec_map[basis_prec]}
+    # q_prec (Q-carrier-side matmuls only) and deskew_prec (de-skew
+    # squarings only) are finer slices of the same knob — measured round 3
+    # (tools/sweep_eigdc.py, bench Gram, on-device): q_prec="high" breaks
+    # parity (top-40 rel 2.1e-4, 3/1280 violations) for ~4 ms;
+    # deskew_prec="high" is parity-safe (0 violations, top-40 1.2e-5) but
+    # its ~1.7 ms is inside the ±4 ms variance band.  Neither is a default;
+    # per-matmul precision demotion is conclusively NOT the lever.
+    cfg = _make_cfg(
+        base=base, chain=chain, sign_root=tuple(sign_iters_root),
+        sign=tuple(sign_iters), orth=tuple(orth_iters), kpm=kpm_degree,
+        basis_prec=basis_prec, q_prec=q_prec, deskew_prec=deskew_prec,
+    )
+    qp = cfg["basis_prec"] or cfg["q_prec"]
     k_basis, *k_dm = jax.random.split(key, 1 + sum(dm_iters) + 2)
 
     Q, mask = _basis(H, jnp.asarray(n, jnp.int32), k_basis, 0, cfg)
@@ -581,9 +616,12 @@ def eigh_dc(
 
     # global re-orthonormalization (cross-leaf leakage breaks Ritz accuracy;
     # eigenvector mode needs near-duplicate columns fully separated, which
-    # takes more NS steps — σ of a 0.99-correlated pair starts at ~0.1)
+    # takes more NS steps — σ of a 0.99-correlated pair starts at ~0.1).
+    # ``q_prec`` applies here — measured NOT parity-safe at "high" (see
+    # _dm_iteration docstring): the per-matmul bf16_3x floor accumulates
+    # across the 6 iterations into first-order Ritz error.
     def ns(_, Q):
-        return 1.5 * Q - 0.5 * _mm(Q, _mm(Q.T, Q))
+        return 1.5 * Q - 0.5 * _mm(Q, _mm(Q.T, Q, qp), qp)
 
     Q = jax.lax.fori_loop(0, 6, ns, Q)
 
@@ -603,16 +641,16 @@ def eigh_dc(
     w = 64 if Bt.shape[0] >= 2048 else 32
     it = iter(k_dm)
     for _ in range(dm_iters[0]):
-        Bt, Qp = _dm_iteration(Bt, Qp, next(it))
+        Bt, Qp = _dm_iteration(Bt, Qp, next(it), q_prec=qp)
     Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     for _ in range(dm_iters[1]):
-        Bt, Qp = _dm_iteration(Bt, Qp, next(it))
+        Bt, Qp = _dm_iteration(Bt, Qp, next(it), q_prec=qp)
     Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     Bt, Qp = _bottom_block(Bt, Qp, bottom)
     # clusters straddling the bottom-block boundary: one more local sweep
     Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     for _ in range(dm_iters[2]):
-        Bt, Qp = _dm_iteration(Bt, Qp, next(it))
+        Bt, Qp = _dm_iteration(Bt, Qp, next(it), q_prec=qp)
 
     d = jnp.diag(Bt)
     order = jnp.argsort(d)
