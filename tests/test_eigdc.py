@@ -155,6 +155,60 @@ def test_eigvalsh_dc_parity_n2048():
     )
 
 
+# Quantile anchors of the REAL N=512 CE bench Gram spectrum (CIFAR-10 3c3d,
+# tools/dump_gram.py --batch 512, measured round 3).  This profile is the
+# solver's hardest regime: 10% exact zeros (CE rank deficiency), ~87% of the
+# mass below 1.1e-4·λmax (the 3-term de-skew floor) and a sparse 4-decade
+# top band — at n=5120 it floored the root split (trace(P)=4861 vs zoom
+# capacity 2720) and the capacity clip silently dropped 2141 counts.
+_BENCH512_QS = [0.0, 0.04, 0.08, 0.12, 0.16, 0.2, 0.24, 0.28, 0.32, 0.36,
+                0.4, 0.44, 0.48, 0.52, 0.56, 0.6, 0.64, 0.68, 0.72, 0.76,
+                0.8, 0.84, 0.88, 0.92, 0.96, 0.97, 0.98, 0.99, 0.995,
+                0.999, 1.0]
+_BENCH512_ANCHORS = [2.0134e-07, 2.58318e-07, 2.81113e-07, 0.00291111,
+                     0.00351954, 0.00410348, 0.00469892, 0.00533082,
+                     0.00600511, 0.00672642, 0.00750231, 0.00832668,
+                     0.00918823, 0.0101112, 0.0110853, 0.0121278,
+                     0.0132795, 0.0145753, 0.016074, 0.0178777, 0.020194,
+                     0.0234804, 0.0290798, 0.0435664, 0.134796, 0.215596,
+                     0.395891, 0.938176, 1.70846, 112.886, 250.119]
+
+
+def _bench512_profile(n):
+    lam = np.interp(np.linspace(0, 1, n), _BENCH512_QS, _BENCH512_ANCHORS)
+    lam[: n // 10] = 0.0  # CE exact-zero block
+    return lam
+
+
+@pytest.mark.slow
+def test_flooring_profile_root_deskew_terms():
+    """Regression for the round-3 σ-flooring failure: on the large-N bench
+    profile the 3-term de-skew cannot resolve the count median, the root
+    split floors, and the zoom capacity clip silently drops ~half the valid
+    counts (533/1024 violations measured).  The 4-term ROOT de-skew
+    (``deskew_terms=4``; automatic at n ≥ 2048) resolves the median and
+    restores full parity.  Root-only matters: zoom links carry compression
+    noise that overflows (1+ε)^32768 — terms=4 at depth>0 was measured NaN."""
+    n = 1024
+    A = _spectrum_matrix(_bench512_profile(n), seed=0)
+    ref = np.linalg.eigvalsh(A.astype(np.float64))
+    tol = ATOL * max(1.0, abs(ref[-1])) + RTOL * np.abs(ref)
+
+    ev4 = np.sort(np.asarray(jax.jit(
+        lambda H: eigvalsh_dc(H, guard=None, deskew_terms=4))(jnp.asarray(A))))
+    err4 = np.abs(ev4 - ref)
+    assert (err4 <= tol).all(), (
+        f"terms=4: {int((err4 > tol).sum())}/{n} violations, "
+        f"max {err4.max():.2e}"
+    )
+
+    # the 3-term map must STILL fail on this profile (otherwise the 4-term
+    # machinery is dead weight and this regression test is vacuous)
+    ev3 = np.sort(np.asarray(jax.jit(
+        lambda H: eigvalsh_dc(H, guard=None, deskew_terms=3))(jnp.asarray(A))))
+    assert int((np.abs(ev3 - ref) > tol).sum()) > 50
+
+
 def test_small_matrix_falls_back_to_xla():
     A = _spectrum_matrix(np.linspace(0.5, 2.0, 64))
     ev = np.asarray(eigvalsh_dc(jnp.asarray(A)))

@@ -1,0 +1,122 @@
+"""Cumulative stage bisect of eigvalsh_dc on a saved Gram (TPU timing).
+
+Times prefixes of the solver pipeline (basis → selection/pad → global NS →
+compress/sort → DM/window/bottom polish → guard) so stage costs come from
+*differences of cumulative measurements* — ablation-style subtraction on the
+same jit graph, robust to XLA fusing across stage boundaries.
+
+Usage: python tools/bisect_eigdc.py --gram /tmp/gram1280.npy [--reps 9]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _median_ms(fn, arg, reps):
+    out = np.asarray(fn(arg))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = np.asarray(fn(arg))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gram", type=str, required=True)
+    ap.add_argument("--reps", type=int, default=9)
+    args = ap.parse_args()
+
+    from vivit_tpu import eigdc
+
+    H0 = jnp.asarray(np.load(args.gram), jnp.float32)
+    n = H0.shape[0]
+    key = jax.random.PRNGKey(0)
+    cfg = eigdc._make_cfg()
+
+    rtt = _median_ms(jax.jit(lambda x: x + 1.0), jnp.zeros((8,), jnp.float32),
+                     args.reps)
+    print(f"device={jax.devices()[0].platform}  n={n}  rtt={rtt:.1f} ms")
+
+    def upto(stage):
+        """Build a jitted fn running the pipeline up to `stage`."""
+
+        def fn(H):
+            H = 0.5 * (H + H.T)
+            k_basis, *k_dm = jax.random.split(key, 1 + 5 + 2)
+            Q, mask = eigdc._basis(H, jnp.asarray(n, jnp.int32), k_basis,
+                                   0, cfg)
+            if stage == "basis":
+                return jnp.sum(Q) + jnp.sum(mask)
+            colnorm = jnp.linalg.norm(Q, axis=0)
+            rel = colnorm / (jnp.max(colnorm) + 1e-30)
+            score = jnp.where(mask, 2.0, 0.0) + rel
+            m = n + min(eigdc._PAD_SLACK, Q.shape[1] - n)
+            _, order = jax.lax.top_k(score, m)
+            Q = Q[:, order]
+            Qn, Qpad = Q[:, :n], Q[:, n:]
+            for _ in range(2):
+                Qpad = Qpad - eigdc._mm(Qn, eigdc._mm(Qn.T, Qpad))
+            Q = jnp.concatenate([Qn, Qpad], axis=1)
+            if stage == "select":
+                return jnp.sum(Q)
+
+            def ns(_, Q):
+                return 1.5 * Q - 0.5 * eigdc._mm(Q, eigdc._mm(Q.T, Q))
+
+            Q = jax.lax.fori_loop(0, 6, ns, Q)
+            if stage == "ns":
+                return jnp.sum(Q)
+            Bt = eigdc._compress(Q, H)
+            Qp = None
+            Bt, Qp = eigdc._sort_by_diag(Bt, Qp)
+            if stage == "compress":
+                return jnp.sum(Bt)
+            it = iter(k_dm)
+            for _ in range(2):
+                Bt, Qp = eigdc._dm_iteration(Bt, Qp, next(it))
+            if stage == "dm1":
+                return jnp.sum(Bt)
+            Bt, Qp = eigdc._windowed_jacobi(Bt, Qp, w=32)
+            if stage == "wj1":
+                return jnp.sum(Bt)
+            for _ in range(2):
+                Bt, Qp = eigdc._dm_iteration(Bt, Qp, next(it))
+            Bt, Qp = eigdc._windowed_jacobi(Bt, Qp, w=32)
+            if stage == "dm2wj2":
+                return jnp.sum(Bt)
+            Bt, Qp = eigdc._bottom_block(Bt, Qp, 320)
+            Bt, Qp = eigdc._windowed_jacobi(Bt, Qp, w=32)
+            for _ in range(1):
+                Bt, Qp = eigdc._dm_iteration(Bt, Qp, next(it))
+            return jnp.sum(jnp.diag(Bt))
+
+        return jax.jit(fn)
+
+    prev = 0.0
+    for stage in ["basis", "select", "ns", "compress", "dm1", "wj1",
+                  "dm2wj2", "full"]:
+        ms = _median_ms(upto(stage), H0, args.reps)
+        print(f"{stage:10s} cum {ms:7.2f} ms  net {ms - rtt:7.2f}"
+              f"  delta {ms - (prev or ms):6.2f}")
+        prev = ms
+
+    full = jax.jit(lambda M: eigdc.eigvalsh_dc(M, guard=None))
+    ms = _median_ms(full, H0, args.reps)
+    print(f"{'lib(g=None)':10s} cum {ms:7.2f} ms  net {ms - rtt:7.2f}")
+    fullg = jax.jit(lambda M: eigdc.eigvalsh_dc(M))
+    ms = _median_ms(fullg, H0, args.reps)
+    print(f"{'lib(guard)':10s} cum {ms:7.2f} ms  net {ms - rtt:7.2f}")
+
+
+if __name__ == "__main__":
+    main()

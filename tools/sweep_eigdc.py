@@ -42,6 +42,11 @@ CONFIGS = {
     "q=high": {"q_prec": "high"},
     "deskew=high": {"deskew_prec": "high"},
     "q+deskew=high": {"q_prec": "high", "deskew_prec": "high"},
+    "ns_global=5": {"ns_global": 5},
+    "ns_global=4": {"ns_global": 4},
+    "dm_ns=1": {"dm_ns": 1},
+    "bottom=256": {"bottom": 256},
+    "polish-lean": {"ns_global": 5, "dm_ns": 1},
 }
 
 

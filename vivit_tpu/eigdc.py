@@ -148,8 +148,20 @@ def _orth_px(Y, iters_px: int = 8, iters_ns: int = 3, prec=None):
     return jax.lax.fori_loop(0, iters_ns, ns, Y)
 
 
-def _deskew(H, s, key, prec=None):
-    """B = (x + f_32(x) + f_1024(x))/3 applied spectrally to H/s."""
+def _deskew(H, s, key, prec=None, terms: int = 3):
+    """B = (x + f_32(x) + f_1024(x) [+ f_32768(x)])/terms applied
+    spectrally to H/s (``f_d(x) = 1-(1-x)^d``).
+
+    ``terms=4`` adds the f_32768 term (5 more squarings), pushing the
+    resolvable floor from ~1.1e-4·λmax down to ~4.7e-6·λmax.  Needed at
+    large n: the N=512 CE bench Gram has 87% of its spectrum (4460/5120,
+    median 3.9e-5·λmax) below the 3-term floor, so the root split σ
+    floors, trace(P)=4861 exceeds the kc=2720 zoom capacity, and the
+    capacity clip silently drops 2141 valid counts — the round-3 on-device
+    failure (2168/5120 violations, ~10% top-band errors, runtime guard
+    tripped).  At n=1280 the median (2.1e-4·λmax) is above the 3-term
+    floor, which is why smaller sizes never hit this.
+    """
     n = H.shape[0]
     I = jnp.eye(n, dtype=_F32)
     # guard shift: f32-noise-negative eigenvalues must not blow up ^1024
@@ -168,7 +180,11 @@ def _deskew(H, s, key, prec=None):
     f32_ = I - X
     X = jax.lax.fori_loop(0, 5, sq, X)  # (1-x)^1024
     f1024 = I - X
-    return (H / s + f32_ + f1024) / 3.0
+    if terms == 3:
+        return (H / s + f32_ + f1024) / 3.0
+    X = jax.lax.fori_loop(0, 5, sq, X)  # (1-x)^32768
+    f32768 = I - X
+    return (H / s + f32_ + f1024 + f32768) / 4.0
 
 
 _KPM_GRID = 1024
@@ -219,6 +235,14 @@ _MARGIN = 64
 # attribution cannot drop a genuine carrier (see the selection comment in
 # eigh_dc); removed exactly at the end via PSD interlacing
 _PAD_SLACK = 32
+
+
+def _pad_slack(n: int) -> int:
+    """Pad width scales with n: borderline ``round(trace(P))`` drift is ±1
+    per split and the split count grows with n — measured at 5120 the
+    valid-count shortfall reached 44 (> the fixed 32).  Sizes < 2048 keep
+    the validated constant."""
+    return _PAD_SLACK if n < 2048 else max(_PAD_SLACK, n // 64)
 
 
 def _margin(k: int) -> int:
@@ -342,7 +366,7 @@ def _tree(B_batch, counts, lifts, key, cfg):
 
 
 def _dm_iteration(Bt, Q, key, cap: float = 0.45, guard: float = 3.0,
-                  q_prec=None):
+                  q_prec=None, ns_iters: int = 2):
     """One Davies-Modi refinement step (spectral-norm-capped).
 
     ``q_prec`` demotes the rotation-side matmuls (the NS orthonormalization
@@ -370,7 +394,7 @@ def _dm_iteration(Bt, Q, key, cap: float = 0.45, guard: float = 3.0,
     def ns(_, Y):
         return 1.5 * Y - 0.5 * _mm(Y, _mm(Y.T, Y, q_prec), q_prec)
 
-    Y = jax.lax.fori_loop(0, 2, ns, Y)
+    Y = jax.lax.fori_loop(0, ns_iters, ns, Y)
     Bt = _compress(Y, Bt)
     Q = _mm(Q, Y, q_prec) if Q is not None else None
     return Bt, Q
@@ -440,7 +464,23 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
     k_norm, k_split, k_zoom, k_tree, k_sub, k_dsk = jax.random.split(key, 6)
     prec = cfg["basis_prec"]
     s = _power_norm(H, k_norm)
-    B = _deskew(H, s, k_dsk, prec=prec or cfg["deskew_prec"])
+    # 4-term de-skew at the ROOT of n ≥ 2048 problems: large-N GGN Grams
+    # put the bulk (and the median) below the 3-term resolvable floor,
+    # flooring σ and overflowing the zoom capacity (see _deskew docstring).
+    # ROOT ONLY: zoom links carry compression noise ~1e-7·λmax_orig
+    # relative to their shrunken band top (~3e-3 at link 2), and
+    # (1+3e-3)^32768 = e^98 overflows f32 — measured NaN at link 3.  The
+    # deep term is also USELESS there: anything under the 3-term floor at
+    # a zoom link is below that link's compression noise anyway.  A 4-term
+    # root split heals the whole chain because it splits the mass evenly
+    # in count — the link-2 band median lands mid-range (measured 0.5 in
+    # de-skewed space vs floored 0.04 before).  Sizes < 2048 keep the
+    # validated 3-term map byte-identical (flooring profiles there are
+    # caught by the runtime guard).
+    terms = cfg["deskew_terms"] or (4 if n >= 2048 else 3)
+    if depth > 0:
+        terms = 3
+    B = _deskew(H, s, k_dsk, prec=prec or cfg["deskew_prec"], terms=terms)
 
     sign_iters = cfg["sign_root"] if depth == 0 else cfg["sign"]
     kc = n // 2 + _margin(n)
@@ -490,14 +530,15 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _make_cfg(base=160, chain=6, sign_root=(9, 4), sign=(9, 4), orth=(8, 3),
-              kpm=64, basis_prec=None, q_prec=None, deskew_prec=None):
+              kpm=64, basis_prec=None, q_prec=None, deskew_prec=None,
+              deskew_terms=None):
     """Build the internal tuning dict (single source of the key set — the
     profiler/sweep tools construct cfgs too and must not drift)."""
     prec_map = {None: None, "highest": _HI, "high": _MID}
     return {"base": base, "chain": chain, "sign_root": tuple(sign_root),
             "sign": tuple(sign), "orth": tuple(orth), "kpm": kpm,
             "basis_prec": prec_map[basis_prec], "q_prec": prec_map[q_prec],
-            "deskew_prec": prec_map[deskew_prec]}
+            "deskew_prec": prec_map[deskew_prec], "deskew_terms": deskew_terms}
 
 
 def eigh_dc(
@@ -517,6 +558,9 @@ def eigh_dc(
     basis_prec: Optional[str] = None,
     q_prec: Optional[str] = None,
     deskew_prec: Optional[str] = None,
+    ns_global: int = 6,
+    dm_ns: int = 2,
+    deskew_terms: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full-spectrum eigendecomposition of a symmetric PSD matrix.
 
@@ -561,6 +605,7 @@ def eigh_dc(
         base=base, chain=chain, sign_root=tuple(sign_iters_root),
         sign=tuple(sign_iters), orth=tuple(orth_iters), kpm=kpm_degree,
         basis_prec=basis_prec, q_prec=q_prec, deskew_prec=deskew_prec,
+        deskew_terms=deskew_terms,
     )
     qp = cfg["basis_prec"] or cfg["q_prec"]
     k_basis, *k_dm = jax.random.split(key, 1 + sum(dm_iters) + 2)
@@ -596,23 +641,36 @@ def eigh_dc(
     colnorm = jnp.linalg.norm(Q, axis=0)
     rel = colnorm / (jnp.max(colnorm) + 1e-30)
     score = jnp.where(mask, 2.0, 0.0) + rel
-    m = n + min(_PAD_SLACK, Q.shape[1] - n)
+    m = n + min(_pad_slack(n), Q.shape[1] - n)
     _, order = jax.lax.top_k(score, m)
     Q = Q[:, order]
 
-    # Deflate the pad against the primary n columns (two projection passes
-    # — the primary basis is only near-orthonormal).  A pad column that
-    # duplicates a primary direction projects to ~0 and collapses onto the
-    # null space; a genuinely missing carrier is untouched (nothing in the
-    # primary basis overlaps it).  Without this, a duplicate PAIR does NOT
-    # go null under NS — the polar factor of [q, q] is a correlated pair
-    # with 0.5 mutual overlap (a partial isometry, not an orthonormal
-    # basis), which skews Ritz values across the spectrum (measured on the
-    # rank-deficient CE bench Gram: 202/1280 violations, max 1.7e-2).
-    Qn, Qpad = Q[:, :n], Q[:, n:]
+    # Deflate every column past the VALID count against the valid leading
+    # columns (two projection passes — the leading basis is only
+    # near-orthonormal).  A deflated column that duplicates a leading
+    # direction projects to ~0 and collapses onto the null space; a
+    # genuinely unique carrier is untouched (nothing ahead of it overlaps
+    # it).  Without this, a duplicate PAIR does NOT go null under NS — the
+    # polar factor of [q, q] is a correlated pair with 0.5 mutual overlap
+    # (a partial isometry, not an orthonormal basis), which skews Ritz
+    # values across the spectrum (measured on the rank-deficient CE bench
+    # Gram: 202/1280 violations, max 1.7e-2).
+    # The deflation boundary is DYNAMIC (sum of selected validity bits, not
+    # the static n): when counts under-claim, the by-norm backfills sit
+    # *inside* the primary n columns — measured at 5120 the shortfall was
+    # 44 and the 44 undeflated backfill duplicates poisoned the global NS
+    # (1244-2004 violations); a static over-wide tail instead clips
+    # genuine carriers (measured: top-40 degrades 4.9e-5 → 1.2e-3).  When
+    # counts are exact (n ≤ 1280 healthy spectra) the boundary lands at n
+    # and this reduces to the validated pad-only deflation.
+    sel_valid = mask[order]
+    n_valid = jnp.minimum(jnp.sum(sel_valid.astype(jnp.int32)), n)
+    lead = (jnp.arange(m) < n_valid).astype(Q.dtype)[None, :]
+    Qlead = Q * lead
+    Qtail = Q * (1.0 - lead)
     for _ in range(2):
-        Qpad = Qpad - _mm(Qn, _mm(Qn.T, Qpad))
-    Q = jnp.concatenate([Qn, Qpad], axis=1)
+        Qtail = Qtail - _mm(Qlead, _mm(Qlead.T, Qtail))
+    Q = Qlead + Qtail
 
     # global re-orthonormalization (cross-leaf leakage breaks Ritz accuracy;
     # eigenvector mode needs near-duplicate columns fully separated, which
@@ -623,7 +681,7 @@ def eigh_dc(
     def ns(_, Q):
         return 1.5 * Q - 0.5 * _mm(Q, _mm(Q.T, Q, qp), qp)
 
-    Q = jax.lax.fori_loop(0, 6, ns, Q)
+    Q = jax.lax.fori_loop(0, ns_global, ns, Q)
 
     Bt = _compress(Q, H)
     rayleigh0 = jnp.diag(Bt)  # column-aligned with Q (pre-sort), for guard
@@ -641,16 +699,19 @@ def eigh_dc(
     w = 64 if Bt.shape[0] >= 2048 else 32
     it = iter(k_dm)
     for _ in range(dm_iters[0]):
-        Bt, Qp = _dm_iteration(Bt, Qp, next(it), q_prec=qp)
+        Bt, Qp = _dm_iteration(Bt, Qp, next(it), q_prec=qp,
+                               ns_iters=dm_ns)
     Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     for _ in range(dm_iters[1]):
-        Bt, Qp = _dm_iteration(Bt, Qp, next(it), q_prec=qp)
+        Bt, Qp = _dm_iteration(Bt, Qp, next(it), q_prec=qp,
+                               ns_iters=dm_ns)
     Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     Bt, Qp = _bottom_block(Bt, Qp, bottom)
     # clusters straddling the bottom-block boundary: one more local sweep
     Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     for _ in range(dm_iters[2]):
-        Bt, Qp = _dm_iteration(Bt, Qp, next(it), q_prec=qp)
+        Bt, Qp = _dm_iteration(Bt, Qp, next(it), q_prec=qp,
+                               ns_iters=dm_ns)
 
     d = jnp.diag(Bt)
     order = jnp.argsort(d)
