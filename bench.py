@@ -6,8 +6,11 @@ the ``[NC, NC]`` Gram matrix, and eigendecompose it.
 
 Prints ONE JSON line: ``{"metric", "value", "unit", "vs_baseline"}``.
 
-* ``value``: median wall-clock per step on this machine's default JAX device
-  (the TPU chip under the driver).
+* ``value``: median steady-state wall-clock per step on this machine's
+  default JAX device (the TPU chip under the driver): 8 asynchronous step
+  dispatches, one result fetch, divided by 8 — how a real loop runs.  The
+  single-shot latency (1 dispatch + 1 fetch, which on this harness includes
+  a ~25-30 ms tunnel network round-trip) is in ``extras``.
 * ``vs_baseline``: speedup vs a PyTorch implementation of the same
   computation (``torch.func`` per-sample Jacobians → Gram → ``eigh``) on this
   machine's CPU — the only reference-framework hardware available here (the
@@ -48,6 +51,29 @@ def _time_fetch(fn, args, repeats):
         t0 = time.perf_counter()
         out = np.asarray(fn(*args))
         times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1000), out
+
+
+def _time_amortized(fn, args, repeats, chain=8):
+    """Median steady-state per-step wall-clock: ``chain`` asynchronous
+    dispatches back-to-back, one device→host fetch at the end, divided by
+    ``chain``.
+
+    This is the production figure: a training/analysis loop runs many steps
+    and pays the host↔device round-trip once per *fetch*, not once per step
+    (JAX dispatch is asynchronous; measured on the tunnel: amortized ≈
+    single-shot − RTT + 2 ms).  The single-shot latency (which includes one
+    full tunnel RTT ≈ 25-30 ms of pure network time on this harness) is
+    still reported in the extras for transparency.
+    """
+    out = np.asarray(fn(*args))  # compile + fetch
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            r = fn(*args)
+        out = np.asarray(r)
+        times.append((time.perf_counter() - t0) / chain)
     return float(np.median(times) * 1000), out
 
 
@@ -102,8 +128,9 @@ def measure_vivit_tpu(n, repeats):
             precision="highest", gram_precision="bf16", eig_backend="dc",
         )[0]
     )
-    ms, evals = _time_fetch(fn, (variables, X, y), repeats)
-    return ms, evals
+    ms, evals = _time_amortized(fn, (variables, X, y), repeats)
+    single_ms, _ = _time_fetch(fn, (variables, X, y), repeats)
+    return ms, single_ms, evals
 
 
 def measure_secondary(repeats):
@@ -130,20 +157,29 @@ def measure_secondary(repeats):
             precision="highest", gram_precision="bf16", solver="lobpcg",
         )[-1]  # fetch one (small) leaf as the completion barrier
     )
-    out["newton_step_k10_cifar10_3c3d_n128"], _ = _time_fetch(
+    out["newton_step_k10_cifar10_3c3d_n128"], _ = _time_amortized(
         newton, (variables, X, y), repeats
     )
 
     X_np, y_np = _synthetic_batch(512)
     X, y = jnp.asarray(X_np), jnp.asarray(y_np)
+    # eig_backend="xla" here, deliberately: round 3 found the round-2
+    # recorded N=512 dc figure (1,474.9 ms) was SILENTLY CORRUPT — the real
+    # 5120² CE Gram floors the de-skew's resolvable range (2,168/5,120
+    # eigenvalue-tolerance violations, up to ~10% top-band error; no guard
+    # existed then).  The runtime guard now catches it and falls back to
+    # XLA *inside* the program, but that pays for both solvers (~2.9 s) and
+    # the giant fused program crashed the TPU worker — so the honest,
+    # stable N=512 figure is the XLA eigensolver path.  dc's validated
+    # real-Gram envelope is n ≤ 1280 (see vivit_tpu/eigdc.py docstring).
     big = jax.jit(
         lambda v, X, y: eigvalsh_structured(
             module, v, loss, X, y,
-            precision="highest", gram_precision="bf16", eig_backend="dc",
+            precision="highest", gram_precision="bf16", eig_backend="xla",
         )[0]
     )
-    out["gram_build_eigh_cifar10_3c3d_n512"], _ = _time_fetch(
-        big, (variables, X, y), max(3, repeats // 3)
+    out["gram_build_eigh_cifar10_3c3d_n512"], _ = _time_amortized(
+        big, (variables, X, y), max(3, repeats // 3), chain=3
     )
     return out
 
@@ -259,10 +295,11 @@ def main():
     ap.add_argument("--skip-secondary", action="store_true")
     args = ap.parse_args()
 
-    ours_ms, evals = measure_vivit_tpu(args.batch, args.repeats)
+    ours_ms, single_ms, evals = measure_vivit_tpu(args.batch, args.repeats)
     rtt_ms = _measure_rtt()
 
-    extras = {"tunnel_rtt": rtt_ms, "headline_net_of_rtt": ours_ms - rtt_ms}
+    extras = {"tunnel_rtt": rtt_ms, "headline_single_shot": single_ms,
+              "single_shot_net_of_rtt": single_ms - rtt_ms}
     if not args.skip_secondary:
         try:
             extras.update(measure_secondary(args.repeats))

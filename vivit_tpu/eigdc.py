@@ -49,9 +49,22 @@ knowledge of the spectrum):
   under ``guard=None``.  GGN spectra of real models (continuous decay) are
   unaffected (0/1280 violations on the bench Gram); the guard catches the
   degenerate cases (measured defect ≥ 5e-4 vs ~1e-6 on healthy spectra).
-* Spectra with more than ``n/2 + margin`` eigenvalues below ~1e-4·λmax that
-  also exceed the absolute tolerance lose the smallest of them to the
-  capacity clip.
+* Spectra with more than ``n/2 + margin`` eigenvalues below the de-skew's
+  resolvable floor (~1e-4·λmax for the 3-term map, ~4.7e-6 for the 4-term
+  root map used at n ≥ 2048) that also exceed the absolute tolerance lose
+  the smallest of them to the capacity clip.
+* **Real-GGN-Gram validated envelope: n ≤ 1280.**  Large mean-reduction
+  batches concentrate the spectrum into an ultra-dense mid-band (the real
+  N=512 CE Gram holds 65% of its 5120 eigenvalues inside a 4.5× value
+  range); measured round 3: at n=1920 the raw solver leaves 97/1920
+  mid-band violations, at n ≥ 2560 split-boundary leakage (de-skew
+  rounding noise exceeds the local eigenvalue gaps, so sign projectors
+  mix O(100) directions bilaterally) corrupts 400+ eigenvalues even after
+  a residual-top-up rescue (measured 2253 → 434, still 100× over the
+  bar).  The runtime guard catches all of these and falls back to XLA
+  inside the program — correct results at ~2× cost; pipelines that know
+  their batch is large should pass ``eig_backend="xla"`` directly (as
+  ``bench.py``'s N=512 leg does).
 * Inputs are assumed PSD up to f32 noise (GGN Gram matrices are).
 
 Reference counterpart: ``vivit/utils/eig.py`` (torch ``symeig`` wrappers) —
