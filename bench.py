@@ -170,12 +170,16 @@ def measure_secondary(repeats):
     # existed then).  The runtime guard now catches it and falls back to
     # XLA *inside* the program, but that pays for both solvers (~2.9 s) and
     # the giant fused program crashed the TPU worker — so the honest,
-    # stable N=512 figure is the XLA eigensolver path.  dc's validated
-    # real-Gram envelope is n ≤ 1280 (see vivit_tpu/eigdc.py docstring).
+    # stable N=512 figure is the XLA eigensolver path.
+    # deflate_ce_null: the exact-CE analytic null deflation shrinks the
+    # eigenproblem 5120² → 4608² (vivit_tpu/deflate.py) — measured
+    # 0/5120 violations vs the f64 oracle at 1.1e-6·λmax max error,
+    # 1901 → 1457 ms/step.
     big = jax.jit(
         lambda v, X, y: eigvalsh_structured(
             module, v, loss, X, y,
             precision="highest", gram_precision="bf16", eig_backend="xla",
+            deflate_ce_null=True,
         )[0]
     )
     out["gram_build_eigh_cifar10_3c3d_n512"], _ = _time_amortized(

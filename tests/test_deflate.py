@@ -1,0 +1,140 @@
+"""Analytic CE null-space deflation (vivit_tpu/deflate.py).
+
+The exact-CE Gram carries one structural zero eigenvalue per sample with
+the analytically known eigenvector √p_n (disjoint supports → orthonormal);
+deflation shrinks the eigenproblem from ``C·S`` to ``(C−1)·S`` exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+from vivit_tpu.deflate import (
+    ce_null_complement,
+    check_deflatable,
+    deflate_gram,
+    deflated_eigvalsh,
+    lift_gram_vecs,
+)
+from tests.implementation.cases import PROBLEMS
+
+CE_PROBLEMS = [p for p in PROBLEMS
+               if type(p.loss).__name__ == "CrossEntropyLoss"]
+CE_IDS = [p.name for p in CE_PROBLEMS]
+
+
+def _synthetic_ce_gram(n=24, c=10, d=300, seed=0):
+    """Gram built from factors with the exact CE null structure."""
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(n, c)) * 2
+    p = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    J = rng.normal(size=(n, c, d))
+    V = np.zeros((c * n, d))
+    for i in range(n):
+        S = np.sqrt(p[i])[:, None] * (np.eye(c) - p[i][None, :])
+        V[np.arange(c) * n + i] = S @ J[i]  # c-major: flat = c*N + n
+    return (V @ V.T).astype(np.float32), p.astype(np.float32)
+
+
+def test_null_complement_properties():
+    _, p = _synthetic_ce_gram()
+    W = np.asarray(ce_null_complement(jnp.asarray(p)))
+    u = np.sqrt(p)
+    for i in range(p.shape[0]):
+        assert np.abs(W[i].T @ W[i] - np.eye(p.shape[1] - 1)).max() < 1e-6
+        assert np.abs(W[i].T @ u[i]).max() < 1e-6
+
+
+def test_deflated_spectrum_matches_full():
+    G, p = _synthetic_ce_gram()
+    ref = np.linalg.eigvalsh(G.astype(np.float64))
+    ev = np.sort(np.asarray(
+        jax.jit(deflated_eigvalsh)(jnp.asarray(G), jnp.asarray(p))
+    ))
+    err = np.abs(ev - ref)
+    tol = 5e-6 * abs(ref[-1]) + 1e-4 * np.abs(ref)
+    assert (err <= tol).all(), (
+        f"{int((err > tol).sum())} violations, max {err.max():.2e} "
+        f"(lmax {ref[-1]:.2e})"
+    )
+    # the N structural zeros come back exact
+    assert np.abs(ev[: p.shape[0]]).max() <= 1e-6 * abs(ref[-1])
+
+
+def test_lifted_eigenvectors_are_gram_eigenvectors():
+    G, p = _synthetic_ce_gram(seed=3)
+    W = ce_null_complement(jnp.asarray(p))
+    Gd = deflate_gram(jnp.asarray(G), W)
+    evd, Vd = np.linalg.eigh(np.asarray(Gd))
+    L = np.asarray(lift_gram_vecs(jnp.asarray(Vd[:, -6:].astype(np.float32)), W))
+    res = np.linalg.norm(G @ L - L * evd[-6:][None, :], axis=0)
+    assert (res <= 2e-5 * evd[-1]).all(), res / evd[-1]
+    assert np.abs(L.T @ L - np.eye(6)).max() < 1e-5
+
+
+@pytest.mark.parametrize("problem", CE_PROBLEMS, ids=CE_IDS)
+def test_pipeline_parity_generic(problem):
+    """eigvalsh(deflate_ce_null=True) == eigvalsh(...) on every CE fixture."""
+    p = problem
+    want = vt.eigvalsh(p.model_fn, p.loss, p.params, p.X, p.y,
+                       group_paths=(tuple(p.paths),))[0]
+    got = vt.eigvalsh(p.model_fn, p.loss, p.params, p.X, p.y,
+                      group_paths=(tuple(p.paths),), deflate_ce_null=True)[0]
+    want, got = np.asarray(want), np.asarray(got)
+    lmax = abs(want[-1])
+    assert np.abs(np.sort(got) - np.sort(want)).max() <= (
+        5e-6 * max(1.0, lmax) + 1e-4 * lmax
+    )
+
+
+def test_pipeline_parity_groups_and_subsampling():
+    p = next(pp for pp in CE_PROBLEMS if "mean" in pp.name)
+    layouts = p.group_layouts()["one_group" if len(p.paths) < 3
+                                else "weights_and_biases"]
+    sub = [1, 0, 3]
+    want = vt.eigvalsh(p.model_fn, p.loss, p.params, p.X, p.y,
+                       group_paths=tuple(tuple(g) for g in layouts),
+                       subsampling=sub)
+    got = vt.eigvalsh(p.model_fn, p.loss, p.params, p.X, p.y,
+                      group_paths=tuple(tuple(g) for g in layouts),
+                      subsampling=sub, deflate_ce_null=True)
+    for w, g in zip(want, got):
+        w, g = np.asarray(w), np.asarray(g)
+        lmax = abs(w[-1])
+        assert np.abs(np.sort(g) - np.sort(w)).max() <= (
+            5e-6 * max(1.0, lmax) + 1e-4 * lmax
+        )
+
+
+def test_pipeline_parity_structured():
+    from vivit_tpu.models import CNN3c3d
+    from vivit_tpu.structured import eigvalsh_structured
+
+    module = CNN3c3d(10)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(6, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, size=(6,)), jnp.int32)
+    variables = module.init(jax.random.PRNGKey(0), X[:1])
+    loss = vt.CrossEntropyLoss("mean")
+    (want,) = eigvalsh_structured(module, variables, loss, X, y)
+    (got,) = eigvalsh_structured(module, variables, loss, X, y,
+                                 deflate_ce_null=True)
+    want, got = np.asarray(want), np.asarray(got)
+    lmax = abs(want[-1])
+    assert np.abs(np.sort(got) - np.sort(want)).max() <= (
+        5e-6 * max(1.0, lmax) + 1e-4 * lmax
+    )
+
+
+def test_rejects_invalid_configs():
+    p = CE_PROBLEMS[0]
+    with pytest.raises(ValueError, match="mc_samples"):
+        check_deflatable(p.loss, mc_samples=2)
+    with pytest.raises(ValueError, match="CrossEntropyLoss"):
+        check_deflatable(vt.MSELoss("mean"), mc_samples=0)
+    with pytest.raises(ValueError):
+        vt.eigvalsh(p.model_fn, vt.MSELoss("mean"), p.params, p.X,
+                    jnp.zeros((p.X.shape[0], 4), jnp.float32),
+                    group_paths=(tuple(p.paths),), deflate_ce_null=True)

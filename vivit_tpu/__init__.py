@@ -21,7 +21,7 @@ loss-Hessian square roots, matrix-free operators (:mod:`vivit_tpu.hessianfree`),
 and the standalone Gram primitives (:mod:`vivit_tpu.extensions`).
 """
 
-from vivit_tpu import extensions, hessianfree, losses, structured
+from vivit_tpu import deflate, extensions, hessianfree, losses, structured
 from vivit_tpu.chunked import eigvalsh_streamed, gram_streamed
 from vivit_tpu.ggn import (
     batch_grad,
@@ -64,6 +64,7 @@ __all__ = [
     "CrossEntropyLoss",
     "CustomLoss",
     "losses",
+    "deflate",
     "extensions",
     "hessianfree",
     "structured",

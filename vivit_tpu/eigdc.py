@@ -471,25 +471,113 @@ def _bottom_block(Bt, Q, nb: int):
     return Bt, Q
 
 
+def _top_block(Bt, Q, nb: int):
+    """Exact solve of the top diagonal block.
+
+    The top band carries the spectrum's entire relative-tolerance burden
+    (rtol·λ dominates atol·λmax only near the top), and at large n the
+    Davies-Modi iterations converge its residual couplings slowest (the
+    top band's own dynamic range is widest).  One batched eigh of the
+    ``nb²`` block is ~free and removes those couplings exactly — measured
+    at n=2560 (strip path): the last top-band violation (1.1-1.3× over
+    tolerance at ranks 2551-2553) drops to ≤0.6×.
+    """
+    n = Bt.shape[0]
+    nb = min(nb, n)
+    sub = Bt[n - nb:, n - nb:]
+    _, V = _leaf_eigh(sub[None])
+    Bt, Q = _apply_blockdiag(Bt, Q, V, n - nb, n, nb)
+    Bt = 0.5 * (Bt + Bt.T)
+    return Bt, Q
+
+
+_STRIP_MIN = 1536  # full-size top-band strip threshold (root only): the
+# largest real-Gram size validated WITHOUT the strip is 1280 (kept
+# byte-identical); 1920 already needs it (97 mid-band violations on the
+# old path, 0 with the strip)
+
+
+def _strip_basis(H, count, key, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Root-level top-band strip for large n (the round-3 large-N fix).
+
+    Why the deep (4-term) de-skew map cannot work at n ≥ ~2048 on real
+    GGN Grams — measured as Finding 2 (docs/design.md) and explained by an
+    invariance: for ANY polynomial spectral map computed by f32 squaring
+    chains, the arithmetic noise in mapped space scales with the *same*
+    local derivative that stretches the gaps, so the split-mixing criterion
+    reduces to ``(local eigenvalue gap) / (node top) ≳ ε_f32`` — map depth
+    drops out.  A 5120² CE Gram holds 65% of its spectrum in a 4.5× band
+    at ~1e-4·λmax: bulk gaps relative to λmax are ~6e-8 ≈ ε, so *every*
+    split through the bulk mixes O(100) directions no matter the map.
+
+    What DOES change the criterion is an exact **rescale**: strip the
+    sparse top band (σ placed at a KPM-certified low-density point in the
+    top ~6% — relative gaps there are ~1e-2, six orders above ε), project
+    the bulk spectrally (``H₁ = P H P``, full size — exact linear algebra,
+    no compression noise), and recurse: ``_basis`` re-normalizes by
+    ``H₁``'s own top, lifting the bulk's gap/top ratio by the stripped
+    dynamic range (~3 orders at 5120) into safely-splittable territory.
+    The recursion continues to rescale at every zoom link, so the
+    criterion is restored level by level — resolution from exact algebra
+    instead of noise-amplifying polynomial depth.
+    """
+    n = H.shape[0]
+    k_norm, k_dsk, k_kpm, k_sig, k_top, k_sub, k_tree = jax.random.split(key, 7)
+    prec = cfg["basis_prec"]
+    s = _power_norm(H, k_norm)
+    B = _deskew(H, s, k_dsk, prec=prec or cfg["deskew_prec"], terms=3)
+    grid, cdf = _kpm_cdf(B, k_kpm, degree=cfg["kpm"])
+    kt = n // 8 + _margin(n // 8)  # static top-child capacity
+    target = count - n / 16.0  # valid count below the strip (top ~6%)
+    win = (kt - n / 16.0) * 0.6
+    density = jnp.gradient(cdf)
+    in_window = jnp.abs(cdf - (target + (n - count))) <= win
+    masked = jnp.where(in_window, density, jnp.inf)
+    idx_flat = jnp.argmin(masked)
+    idx_tgt = jnp.clip(
+        jnp.searchsorted(cdf, target + (n - count)), 1, _KPM_GRID - 1
+    )
+    idx = jnp.where(jnp.any(in_window), idx_flat, idx_tgt)
+    sigma = jnp.clip(grid[idx], _SIGMA_FLOOR, 0.98)
+
+    Xs = B - sigma * jnp.eye(n, dtype=_F32)
+    U = _sign_px(Xs / _power_norm(Xs, k_sig), *cfg["sign_root"], prec=prec)
+    P = 0.5 * (jnp.eye(n, dtype=_F32) - U)
+    r = jnp.round(jnp.trace(P)) - (n - count)  # valid count below σ
+    r = jnp.clip(r, count - kt + _margin(kt) // 2, count)
+
+    # top child: de-skewed subtree on the complement (skinny panel)
+    Om = jax.random.normal(k_top, (n, kt), _F32) / np.sqrt(n)
+    W = _mm(B, Om)
+    Wp = W - _mm(P, W)
+    Yp = _orth_px(Wp, *cfg["orth"], prec=prec)
+    Bp = _compress(Yp, B, prec)
+    _, masks_t, Qt = _tree(Bp[None], (count - r)[None], Yp[None], k_tree, cfg)
+    Qt = jnp.moveaxis(Qt, 0, 1).reshape(n, -1)
+    masks_t = masks_t.reshape(-1)
+
+    # bulk child: exact full-size spectral projection, re-normalized by its
+    # own top inside the recursive call (zoom-link semantics, 3-term map)
+    H1 = _mm(P, _mm(H, P, prec), prec)
+    H1 = 0.5 * (H1 + H1.T)
+    Qz, mz = _basis(H1, r, k_sub, 1, cfg)
+    return jnp.concatenate([Qz, Qt], axis=1), jnp.concatenate([mz, masks_t])
+
+
 def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate eigenbasis of H (columns ascending-ish) + validity mask."""
     n = H.shape[0]
+    if depth == 0 and n >= (cfg["strip"] or _STRIP_MIN) and cfg["strip"] != 0:
+        return _strip_basis(H, count, key, cfg)
     k_norm, k_split, k_zoom, k_tree, k_sub, k_dsk = jax.random.split(key, 6)
     prec = cfg["basis_prec"]
     s = _power_norm(H, k_norm)
-    # 4-term de-skew at the ROOT of n ≥ 2048 problems: large-N GGN Grams
-    # put the bulk (and the median) below the 3-term resolvable floor,
-    # flooring σ and overflowing the zoom capacity (see _deskew docstring).
-    # ROOT ONLY: zoom links carry compression noise ~1e-7·λmax_orig
-    # relative to their shrunken band top (~3e-3 at link 2), and
-    # (1+3e-3)^32768 = e^98 overflows f32 — measured NaN at link 3.  The
-    # deep term is also USELESS there: anything under the 3-term floor at
-    # a zoom link is below that link's compression noise anyway.  A 4-term
-    # root split heals the whole chain because it splits the mass evenly
-    # in count — the link-2 band median lands mid-range (measured 0.5 in
-    # de-skewed space vs floored 0.04 before).  Sizes < 2048 keep the
-    # validated 3-term map byte-identical (flooring profiles there are
-    # caught by the runtime guard).
+    # The 4-term root map (pre-strip round-3 design, kept under ``strip=0``
+    # and the ``deskew_terms`` knob + its regression test): resolves
+    # σ-flooring on skewed profiles at n ≥ 2048 but cannot fix bulk mixing
+    # (see _strip_basis docstring — the strip supersedes it as the default).
+    # ROOT ONLY: zoom links carry compression noise ~3e-3 relative to
+    # their band top and (1+3e-3)^32768 overflows f32 (measured NaN).
     terms = cfg["deskew_terms"] or (4 if n >= 2048 else 3)
     if depth > 0:
         terms = 3
@@ -544,14 +632,15 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _make_cfg(base=160, chain=6, sign_root=(9, 4), sign=(9, 4), orth=(8, 3),
               kpm=64, basis_prec=None, q_prec=None, deskew_prec=None,
-              deskew_terms=None):
+              deskew_terms=None, strip=None):
     """Build the internal tuning dict (single source of the key set — the
     profiler/sweep tools construct cfgs too and must not drift)."""
     prec_map = {None: None, "highest": _HI, "high": _MID}
     return {"base": base, "chain": chain, "sign_root": tuple(sign_root),
             "sign": tuple(sign), "orth": tuple(orth), "kpm": kpm,
             "basis_prec": prec_map[basis_prec], "q_prec": prec_map[q_prec],
-            "deskew_prec": prec_map[deskew_prec], "deskew_terms": deskew_terms}
+            "deskew_prec": prec_map[deskew_prec], "deskew_terms": deskew_terms,
+            "strip": strip}
 
 
 def eigh_dc(
@@ -574,12 +663,19 @@ def eigh_dc(
     ns_global: int = 6,
     dm_ns: int = 2,
     deskew_terms: Optional[int] = None,
+    strip: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full-spectrum eigendecomposition of a symmetric PSD matrix.
 
     Returns ``(evals [n] ascending, evecs [n, n] or None)``.  Matches
     ``jnp.linalg.eigh`` to the library parity tolerances on GGN-like
     spectra (see module docstring for the validated envelope).
+
+    ``strip``: size threshold for the root-level top-band strip
+    (:func:`_strip_basis` — the large-n architecture; default 1536 via
+    ``None``, ``0`` disables and restores the pre-strip deep-map root).
+    When active, leaf solves widen to ``base ≥ 320`` and the polish adds
+    an exact top-block solve.
 
     ``guard``: runtime self-check threshold.  After the polish, the solver
     measures its own relative defect (off-diagonal Frobenius mass of
@@ -598,6 +694,12 @@ def eigh_dc(
         return (evals, evecs) if eigenvectors else (evals, None)
     if key is None:
         key = jax.random.PRNGKey(0)
+    if strip != 0 and n >= (strip or _STRIP_MIN):
+        # strip-path leaf floor: each λ-weighted zoom link risks the band's
+        # smallest carriers under the capacity clip; terminating the chain
+        # at 320-wide exact leaves instead of 160 was measured to recover
+        # the 39 bottom-edge carriers lost at n=2560 (bench512 profile)
+        base = max(base, 320)
 
     # basis_prec="high" demotes the basis-stage matmuls (de-skew squarings,
     # sign/orth NS polish, subtree compressions) to bf16_3x.  MEASURED ON
@@ -618,7 +720,7 @@ def eigh_dc(
         base=base, chain=chain, sign_root=tuple(sign_iters_root),
         sign=tuple(sign_iters), orth=tuple(orth_iters), kpm=kpm_degree,
         basis_prec=basis_prec, q_prec=q_prec, deskew_prec=deskew_prec,
-        deskew_terms=deskew_terms,
+        deskew_terms=deskew_terms, strip=strip,
     )
     qp = cfg["basis_prec"] or cfg["q_prec"]
     k_basis, *k_dm = jax.random.split(key, 1 + sum(dm_iters) + 2)
@@ -720,6 +822,9 @@ def eigh_dc(
                                ns_iters=dm_ns)
     Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     Bt, Qp = _bottom_block(Bt, Qp, bottom)
+    if Bt.shape[0] >= _STRIP_MIN:
+        Bt, Qp = _sort_by_diag(Bt, Qp)
+        Bt, Qp = _top_block(Bt, Qp, bottom)
     # clusters straddling the bottom-block boundary: one more local sweep
     Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     for _ in range(dm_iters[2]):

@@ -53,6 +53,7 @@ def eigvalsh(
     precision: str = "highest",
     gram_precision: Optional[str] = None,
     eig_backend: str = "xla",
+    deflate_ce_null: bool = False,
 ):
     """Functional core: tuple of ascending eigenvalue arrays, one per group.
 
@@ -65,6 +66,11 @@ def eigvalsh(
     overrides the precision of the Gram contraction alone — the FLOP-dominant
     step: e.g. V at ``"highest"`` with the Gram at ``"high"`` (bf16_3x,
     ~1e-5 relative) halves the Gram cost at negligible parity loss.
+
+    ``deflate_ce_null`` shrinks each group's eigenproblem from ``C·S`` to
+    ``(C−1)·S`` via the exact CE null structure (:mod:`vivit_tpu.deflate`);
+    the ``S`` structural zeros are returned exactly.  Exact CrossEntropy
+    factors only (``mc_samples=0``).
     """
     with jax.default_matmul_precision(precision):
         return _eigvalsh_impl(
@@ -72,12 +78,13 @@ def eigvalsh(
             subsampling=subsampling, mc_samples=mc_samples, key=key,
             batch_size=batch_size,
             gram_precision=gram_precision, eig_backend=eig_backend,
+            deflate_ce_null=deflate_ce_null,
         )
 
 
 def _eigvalsh_impl(model_fn, loss, params, X, y, *, group_paths, subsampling,
                    mc_samples, key, batch_size, gram_precision=None,
-                   eig_backend="xla"):
+                   eig_backend="xla", deflate_ce_null=False):
     from vivit_tpu.eig import full_eigh
     vt = ggn_sqrt_vt(
         model_fn,
@@ -90,12 +97,26 @@ def _eigvalsh_impl(model_fn, loss, params, X, y, *, group_paths, subsampling,
         key=key,
         batch_size=batch_size,
     )
+    probs = None
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples)
+        Xs = (X if subsampling is None
+              else jnp.take(X, jnp.asarray(subsampling), axis=0))
+        probs = jax.nn.softmax(model_fn(params, Xs), axis=-1)
+
     gp = _PRECISIONS[gram_precision]
+
+    def solve(gram):
+        if probs is not None:
+            from vivit_tpu.deflate import deflated_eigvalsh
+
+            return deflated_eigvalsh(gram, probs, backend=eig_backend)
+        return full_eigh(gram, backend=eig_backend, eigenvectors=False)[0]
+
     return tuple(
-        full_eigh(
-            gram_matrix(vt, paths=paths, precision=gp),
-            backend=eig_backend, eigenvectors=False,
-        )[0]
+        solve(gram_matrix(vt, paths=paths, precision=gp))
         for paths in group_paths
     )
 

@@ -347,12 +347,18 @@ def eigvalsh_structured(
     precision: str = "highest",
     gram_precision: Optional[str] = None,
     eig_backend: str = "xla",
+    deflate_ce_null: bool = False,
 ):
     """GGN eigenvalues with the Dense fast path (jittable, flax models).
 
     Same semantics as :func:`vivit_tpu.linalg.eigvalsh` — verified to the
     usual rtol=1e-4/atol=5e-6 eigenvalue tolerance against the generic path.
     ``gram_precision`` demotes only the generic (conv) Gram contractions.
+
+    ``deflate_ce_null`` shrinks each group's eigenproblem from ``C·S`` to
+    ``(C−1)·S`` via the exact CE null structure (:mod:`vivit_tpu.deflate`)
+    — 0.73× the eigensolver cost at C=10, with the ``S`` structural zeros
+    returned exactly.  Exact CrossEntropy only.
     """
     from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
@@ -365,12 +371,27 @@ def eigvalsh_structured(
         )
         if group_paths is None:
             group_paths = (tuple(leaf_paths(variables["params"])),)
+
+        probs = None
+        if deflate_ce_null:
+            from vivit_tpu.deflate import check_deflatable, deflated_eigvalsh
+
+            check_deflatable(loss, mc_samples)
+            idx = None if subsampling is None else jnp.asarray(subsampling)
+            Xs = X if idx is None else jnp.take(X, idx, axis=0)
+            probs = jax.nn.softmax(module.apply(variables, Xs), axis=-1)
+
+        def solve(gram):
+            if probs is not None:
+                return deflated_eigvalsh(gram, probs, backend=eig_backend)
+            return full_eigh(gram, backend=eig_backend,
+                             eigenvectors=False)[0]
+
         return tuple(
-            full_eigh(
+            solve(
                 gram_matrix_mixed(
                     vt, paths, generic_precision=_PRECISIONS[gram_precision]
-                ),
-                backend=eig_backend, eigenvectors=False,
-            )[0]
+                )
+            )
             for paths in group_paths
         )
