@@ -696,10 +696,13 @@ def eigh_dc(
         key = jax.random.PRNGKey(0)
     if strip != 0 and n >= (strip or _STRIP_MIN):
         # strip-path leaf floor: each λ-weighted zoom link risks the band's
-        # smallest carriers under the capacity clip; terminating the chain
-        # at 320-wide exact leaves instead of 160 was measured to recover
-        # the 39 bottom-edge carriers lost at n=2560 (bench512 profile)
-        base = max(base, 320)
+        # smallest carriers under the capacity clip, so the chain must
+        # terminate in wide exact leaves.  Measured ladder (f64 oracles,
+        # bottom-edge carriers lost as spurious zeros): n=2560 needs
+        # base ≥ 320 (160 → 39 lost), n=4608 needs ≥ 512 (320 → 22 lost);
+        # a bigger bottom-block polish does NOT recover them (basis
+        # deficiency, not residual coupling) — hence the n//9 scaling.
+        base = max(base, 320, n // 9)
 
     # basis_prec="high" demotes the basis-stage matmuls (de-skew squarings,
     # sign/orth NS polish, subtree compressions) to bf16_3x.  MEASURED ON
