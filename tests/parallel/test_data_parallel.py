@@ -66,6 +66,33 @@ def test_eigvalsh_dp_sum_reduction():
                        rtol=1e-4, atol=5e-6)
 
 
+def test_eigvalsh_dp_deflated_matches_undeflated():
+    """The DP-layout CE null deflation ((device, c, n_local) block order)
+    reproduces the undeflated DP spectrum; the N structural zeros come back
+    exact."""
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    want = np.sort(np.asarray(
+        eigvalsh_dp(model_fn, loss, mesh)(params, X, y, None)
+    ))
+    got = np.sort(np.asarray(
+        eigvalsh_dp(model_fn, loss, mesh, deflate_ce_null=True)(
+            params, X, y, None
+        )
+    ))
+    lmax = abs(want[-1])
+    assert np.abs(got - want).max() <= 5e-6 * max(1.0, lmax) + 1e-4 * lmax
+    assert np.abs(got[:N]).max() <= 1e-6 * max(1.0, lmax)
+
+
+def test_eigvalsh_dp_deflated_rejects_mse():
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    with pytest.raises(ValueError, match="CrossEntropyLoss"):
+        eigvalsh_dp(model_fn, vt.MSELoss("mean"), mesh, deflate_ce_null=True)
+
+
 def test_newton_step_dp_matches_single_chip():
     mesh = _mesh()
     model_fn, params, X, y = _setup()

@@ -128,6 +128,18 @@ def test_pipeline_parity_structured():
     )
 
 
+def test_streamed_deflated_matches_standard():
+    p = next(pp for pp in CE_PROBLEMS if "mean" in pp.name)
+    want = np.sort(np.asarray(vt.eigvalsh(
+        p.model_fn, p.loss, p.params, p.X, p.y,
+        group_paths=(tuple(p.paths),))[0]))
+    got = np.sort(np.asarray(vt.eigvalsh_streamed(
+        p.model_fn, p.loss, p.params, p.X, p.y,
+        deflate_ce_null=True)[0]))
+    lmax = abs(want[-1])
+    assert np.abs(got - want).max() <= 5e-6 * max(1.0, lmax) + 1e-4 * lmax
+
+
 def test_rejects_invalid_configs():
     p = CE_PROBLEMS[0]
     with pytest.raises(ValueError, match="mc_samples"):

@@ -209,6 +209,29 @@ def test_flooring_profile_root_deskew_terms():
     assert int((np.abs(ev3 - ref) > tol).sum()) > 50
 
 
+@pytest.mark.slow
+def test_strip_path_bench_profile_n2560():
+    """The round-3c strip architecture on the previously-broken regime:
+    the bench512 profile at n=2560 left 2253/2560 raw violations under the
+    round-3b deep-map design (split mixing through the dense bulk — see
+    the _strip_basis docstring for why no polynomial map can fix it).
+    The strip path must hold raw (guard=None) parity with wide margin."""
+    n = 2560
+    A = _spectrum_matrix(_bench512_profile(n), seed=0)
+    ref = np.linalg.eigvalsh(A.astype(np.float64))
+    raw = jax.jit(lambda H: eigvalsh_dc(H, guard=None))
+    ev = np.sort(np.asarray(raw(jnp.asarray(A))))
+    err = np.abs(ev - ref)
+    tol = ATOL * max(1.0, abs(ref[-1])) + RTOL * np.abs(ref)
+    assert (err <= tol).all(), (
+        f"{int((err > tol).sum())}/{n} violations, max {err.max():.2e}"
+    )
+    # the margin must be wide (measured 0.01-0.02), not borderline: a
+    # regression to ~1x would signal the bottom-edge carrier loss or
+    # top-band coupling diseases coming back
+    assert (err / tol).max() <= 0.5, (err / tol).max()
+
+
 def test_small_matrix_falls_back_to_xla():
     A = _spectrum_matrix(np.linspace(0.5, 2.0, 64))
     ev = np.asarray(eigvalsh_dc(jnp.asarray(A)))

@@ -215,6 +215,7 @@ def eigvalsh_streamed(
     precision: str = "highest",
     gram_precision: Optional[str] = None,
     eig_backend: str = "xla",
+    deflate_ce_null: bool = False,
 ):
     """Generic-path GGN eigenvalues in streaming memory mode.
 
@@ -223,6 +224,9 @@ def eigvalsh_streamed(
     ``eig_backend="dc"`` dispatches the eigendecomposition to the MXU-native
     spectral-D&C solver (guarded) — the right default at streaming sizes,
     where the Gram is large enough for dc's matmul advantage to dominate.
+    ``deflate_ce_null`` (exact CE only) shrinks the eigenproblem to
+    ``(C−1)·S`` via :mod:`vivit_tpu.deflate` — streaming sizes are exactly
+    where the O(n³) saving is largest.
     """
     from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
@@ -230,17 +234,31 @@ def eigvalsh_streamed(
 
     if group_paths is None:
         group_paths = (tuple(leaf_paths(params)),)
+    probs = None
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples)
+        Xs, _ = _subsample(X, y, subsampling)
+        probs = jax.nn.softmax(model_fn(params, Xs), axis=-1)
+
+    def solve(gram):
+        if probs is not None:
+            from vivit_tpu.deflate import deflated_eigvalsh
+
+            return deflated_eigvalsh(gram, probs, backend=eig_backend)
+        return full_eigh(gram, backend=eig_backend, eigenvectors=False)[0]
+
     with jax.default_matmul_precision(precision):
         return tuple(
-            full_eigh(
+            solve(
                 gram_streamed(
                     model_fn, loss, params, X, y,
                     paths=tuple(paths), subsampling=subsampling,
                     mc_samples=mc_samples, key=key,
                     precision=_PRECISIONS[gram_precision],
-                ),
-                backend=eig_backend, eigenvectors=False,
-            )[0]
+                )
+            )
             for paths in group_paths
         )
 

@@ -50,21 +50,19 @@ knowledge of the spectrum):
   unaffected (0/1280 violations on the bench Gram); the guard catches the
   degenerate cases (measured defect ≥ 5e-4 vs ~1e-6 on healthy spectra).
 * Spectra with more than ``n/2 + margin`` eigenvalues below the de-skew's
-  resolvable floor (~1e-4·λmax for the 3-term map, ~4.7e-6 for the 4-term
-  root map used at n ≥ 2048) that also exceed the absolute tolerance lose
-  the smallest of them to the capacity clip.
-* **Real-GGN-Gram validated envelope: n ≤ 1280.**  Large mean-reduction
-  batches concentrate the spectrum into an ultra-dense mid-band (the real
-  N=512 CE Gram holds 65% of its 5120 eigenvalues inside a 4.5× value
-  range); measured round 3: at n=1920 the raw solver leaves 97/1920
-  mid-band violations, at n ≥ 2560 split-boundary leakage (de-skew
-  rounding noise exceeds the local eigenvalue gaps, so sign projectors
-  mix O(100) directions bilaterally) corrupts 400+ eigenvalues even after
-  a residual-top-up rescue (measured 2253 → 434, still 100× over the
-  bar).  The runtime guard catches all of these and falls back to XLA
-  inside the program — correct results at ~2× cost; pipelines that know
-  their batch is large should pass ``eig_backend="xla"`` directly (as
-  ``bench.py``'s N=512 leg does).
+  resolvable floor (~1e-4·λmax for the 3-term map) that also exceed the
+  absolute tolerance lose the smallest of them to the capacity clip —
+  only relevant below the strip threshold (n < 1536); larger sizes route
+  through the strip, which has no root capacity clip.
+* **Real-GGN-Gram validated envelope: n ≤ 5120** (round-3c).  Sizes
+  ≥ 1536 use the top-band-strip root (:func:`_strip_basis`): shallow
+  de-skew, KPM-certified σ in the sparse top band, exact full-size
+  spectral projection of the bulk, rescaled recursion.  This replaced the
+  round-3b deep-map design after the invariance finding that polynomial
+  map depth cannot improve split mixing (docs/design.md round-3c) — the
+  2168-violation N=512 failure is now 0/5120 vs the f64 oracle at
+  err/tol ≤ 0.01, measured on the real CIFAR-10 3c3d Grams at
+  1920/2560/4608 (deflated)/5120 raw, on CPU and on-chip.
 * Inputs are assumed PSD up to f32 noise (GGN Gram matrices are).
 
 Reference counterpart: ``vivit/utils/eig.py`` (torch ``symeig`` wrappers) —
@@ -649,7 +647,7 @@ def eigh_dc(
     base: int = 160,
     chain: int = 6,
     eigenvectors: bool = True,
-    dm_iters: Tuple[int, int, int] = (2, 2, 1),
+    dm_iters: Optional[Tuple[int, int, int]] = None,
     bottom: int = 320,
     key: Optional[jax.Array] = None,
     guard: Optional[float] = 1e-4,
@@ -660,8 +658,8 @@ def eigh_dc(
     basis_prec: Optional[str] = None,
     q_prec: Optional[str] = None,
     deskew_prec: Optional[str] = None,
-    ns_global: int = 6,
-    dm_ns: int = 2,
+    ns_global: Optional[int] = None,
+    dm_ns: Optional[int] = None,
     deskew_terms: Optional[int] = None,
     strip: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
@@ -674,8 +672,11 @@ def eigh_dc(
     ``strip``: size threshold for the root-level top-band strip
     (:func:`_strip_basis` — the large-n architecture; default 1536 via
     ``None``, ``0`` disables and restores the pre-strip deep-map root).
-    When active, leaf solves widen to ``base ≥ 320`` and the polish adds
-    an exact top-block solve.
+    When active, leaf solves widen to ``base ≥ max(320, n//9)``, the
+    polish adds an exact top-block solve, and the measured strip-path
+    tuning kicks in (bf16_3x de-skew chains, ``dm_iters (2,1,1)``,
+    ``ns_global 5`` — see the inline rationale); ``dm_iters``/
+    ``ns_global``/``deskew_prec`` left at ``None`` resolve per-path.
 
     ``guard``: runtime self-check threshold.  After the polish, the solver
     measures its own relative defect (off-diagonal Frobenius mass of
@@ -694,7 +695,8 @@ def eigh_dc(
         return (evals, evecs) if eigenvectors else (evals, None)
     if key is None:
         key = jax.random.PRNGKey(0)
-    if strip != 0 and n >= (strip or _STRIP_MIN):
+    strip_on = strip != 0 and n >= (strip or _STRIP_MIN)
+    if strip_on:
         # strip-path leaf floor: each λ-weighted zoom link risks the band's
         # smallest carriers under the capacity clip, so the chain must
         # terminate in wide exact leaves.  Measured ladder (f64 oracles,
@@ -702,7 +704,43 @@ def eigh_dc(
         # base ≥ 320 (160 → 39 lost), n=4608 needs ≥ 512 (320 → 22 lost);
         # a bigger bottom-block polish does NOT recover them (basis
         # deficiency, not residual coupling) — hence the n//9 scaling.
+        # Bigger leaves than n//9 buy nothing (measured flat 640/768).
         base = max(base, 320, n // 9)
+        # strip-path tuning (each measured individually AND as the combo
+        # on the real deflated 4608 Gram, 0 violations at ratio 0.07;
+        # adopting all three: 1254 → 1124 ms):
+        #   * de-skew squaring chains at bf16_3x — the invariance law says
+        #     chain noise only moves the split-mixing floor, and the strip
+        #     keeps gap/top ratios 100× above it (ratio 0.01 → 0.07);
+        #   * dm_iters (2,1,1) — the exact top-block solve covers what the
+        #     third mid-polish DM used to;
+        #   * ns_global 5 — the strip basis is cleaner (no root capacity
+        #     clip), one fewer global NS holds orthonormality at the floor.
+        # NOT adopted: sign_iters_root (5,3) — safe alone (0.36) but
+        # breaks combined with the bf16_3x de-skew (15 violations at
+        # ratio 12.8: the lighter sign cannot absorb the noisier B).
+        # basis_prec="high" IS adopted here — but only with q_prec pinned
+        # to "highest": the blanket demotion lands its errors exactly on
+        # the top 8 Ritz values (ratio 0.97 — the polish-side NS/DM
+        # matmuls are the top-band carriers, the old q_prec disease);
+        # decoupled, the full margin returns (ratio 0.07) and the basis
+        # runs 2× cheaper.  dm_ns=1 is enough on this path (ratio
+        # unchanged; the DM rotation Y = I + X with ‖X‖ ≤ 0.45 is close
+        # enough to orthonormal that one NS step reaches the HI floor).
+        # Adopted ladder on the real deflated 4608 Gram:
+        # 1254 → 1124 (deskew/dm/ns) → 963 ms (basis+q decoupled, dm_ns 1).
+        if deskew_prec is None:
+            deskew_prec = "high"
+        if basis_prec is None:
+            basis_prec = "high"
+            if q_prec is None:
+                q_prec = "highest"
+    if dm_iters is None:
+        dm_iters = (2, 1, 1) if strip_on else (2, 2, 1)
+    if ns_global is None:
+        ns_global = 5 if strip_on else 6
+    if dm_ns is None:
+        dm_ns = 1 if strip_on else 2
 
     # basis_prec="high" demotes the basis-stage matmuls (de-skew squarings,
     # sign/orth NS polish, subtree compressions) to bf16_3x.  MEASURED ON
@@ -725,7 +763,13 @@ def eigh_dc(
         basis_prec=basis_prec, q_prec=q_prec, deskew_prec=deskew_prec,
         deskew_terms=deskew_terms, strip=strip,
     )
-    qp = cfg["basis_prec"] or cfg["q_prec"]
+    # explicit q_prec takes precedence over the blanket basis_prec: the
+    # polish-side matmuls (global NS, DM rotations) are the top-band Ritz
+    # carriers — measured at 4608 (strip path): basis_prec="high" WITH the
+    # polish inherited lands the worst errors exactly on the top 8 ranks
+    # (ratio 0.97); pinning q_prec="highest" keeps the basis savings while
+    # restoring the top-band margin.
+    qp = cfg["q_prec"] or cfg["basis_prec"]
     k_basis, *k_dm = jax.random.split(key, 1 + sum(dm_iters) + 2)
 
     Q, mask = _basis(H, jnp.asarray(n, jnp.int32), k_basis, 0, cfg)

@@ -119,6 +119,7 @@ def eigvalsh_dp(
     group_paths: Optional[Sequence[Sequence[str]]] = None,
     subsampling: Optional[Sequence[int]] = None,
     eig_backend: str = "xla",
+    deflate_ce_null: bool = False,
 ) -> Callable:
     """Build a jitted data-parallel GGN eigenvalue function.
 
@@ -141,10 +142,21 @@ def eigvalsh_dp(
     the spectrum — the D&C solver's documented weak regime (wide exact
     degeneracies, see the :mod:`vivit_tpu.eigdc` docstring); prefer
     ``eig_backend="xla"`` for sub-sampled DP spectra.
+
+    ``deflate_ce_null`` (exact CE only): each shard's softmax probabilities
+    are all-gathered (tiny, ``[k, S_local, C]``) and the replicated
+    eigenproblem shrinks to ``(C−1)·N`` via the DP-layout projection
+    (:func:`vivit_tpu.deflate.deflate_gram_sharded`) — the ``N`` structural
+    zeros are returned exactly.  This also removes the exact-zero block
+    that made ``eig_backend="dc"`` + ``subsampling`` a weak regime.
     """
     from vivit_tpu.eig import full_eigh
 
     check_subsampling_unique(subsampling)
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples)
 
     def per_shard(params, X_l, y_l, key):
         with jax.default_matmul_precision(precision):
@@ -160,16 +172,27 @@ def eigvalsh_dp(
             )
             if mask is not None:
                 vt = _mask_vt(vt, mask)
+
+            if deflate_ce_null:
+                from vivit_tpu.deflate import deflated_eigvalsh_sharded
+
+                probs_l = jax.nn.softmax(model_fn(params, X_l), axis=-1)
+                probs_k = jax.lax.all_gather(probs_l, axis_name)
+
+                def solve(gram):
+                    return deflated_eigvalsh_sharded(
+                        gram, probs_k, backend=eig_backend
+                    )
+            else:
+                def solve(gram):
+                    return full_eigh(
+                        gram, backend=eig_backend, eigenvectors=False
+                    )[0]
+
             if group_paths is None:
-                return full_eigh(
-                    sharded_gram(_flatten_vt(vt), axis_name),
-                    backend=eig_backend, eigenvectors=False,
-                )[0]
+                return solve(sharded_gram(_flatten_vt(vt), axis_name))
             return tuple(
-                full_eigh(
-                    sharded_gram(_flatten_vt(vt, tuple(paths)), axis_name),
-                    backend=eig_backend, eigenvectors=False,
-                )[0]
+                solve(sharded_gram(_flatten_vt(vt, tuple(paths)), axis_name))
                 for paths in group_paths
             )
 
