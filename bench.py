@@ -118,14 +118,17 @@ def measure_vivit_tpu(n, repeats):
     # Tuned parity-grade config (see docs/design.md): Kronecker-factored
     # Dense Gram blocks (the ViViTGGNLinear fast path — 81% of the params
     # never materialize V), full-f32 V transform, bf16 Gram for the conv
-    # leaves only, and the MXU-native spectral-D&C eigensolver
-    # (vivit_tpu/eigdc.py; ~1.3x over XLA eigh, top-40 deviation 3e-6).
-    # Top-eigenvalue deviation vs the all-f32 generic pipeline: ~1e-5
-    # (reference bar: rtol=1e-4).
+    # leaves only, the analytic CE null-space deflation (exact 1280² →
+    # 1152² eigenproblem reduction, vivit_tpu/deflate.py), and the
+    # MXU-native spectral-D&C eigensolver (vivit_tpu/eigdc.py).
+    # Measured parity: deflated-dc vs undeflated-dc max deviation
+    # 3.7e-7·λmax (0/1280 violations); deviation vs the all-f32 generic
+    # pipeline ~1e-5 (reference bar: rtol=1e-4).
     fn = jax.jit(
         lambda v, X, y: eigvalsh_structured(
             module, v, loss, X, y,
             precision="highest", gram_precision="bf16", eig_backend="dc",
+            deflate_ce_null=True,
         )[0]
     )
     ms, evals = _time_amortized(fn, (variables, X, y), repeats)
@@ -163,22 +166,18 @@ def measure_secondary(repeats):
 
     X_np, y_np = _synthetic_batch(512)
     X, y = jnp.asarray(X_np), jnp.asarray(y_np)
-    # eig_backend="xla" here, deliberately: round 3 found the round-2
-    # recorded N=512 dc figure (1,474.9 ms) was SILENTLY CORRUPT — the real
-    # 5120² CE Gram floors the de-skew's resolvable range (2,168/5,120
-    # eigenvalue-tolerance violations, up to ~10% top-band error; no guard
-    # existed then).  The runtime guard now catches it and falls back to
-    # XLA *inside* the program, but that pays for both solvers (~2.9 s) and
-    # the giant fused program crashed the TPU worker — so the honest,
-    # stable N=512 figure is the XLA eigensolver path.
-    # deflate_ce_null: the exact-CE analytic null deflation shrinks the
-    # eigenproblem 5120² → 4608² (vivit_tpu/deflate.py) — measured
-    # 0/5120 violations vs the f64 oracle at 1.1e-6·λmax max error,
-    # 1901 → 1457 ms/step.
+    # N=512 history: the round-2 recorded dc figure (1,474.9 ms) was
+    # SILENTLY CORRUPT (2,168/5,120 tolerance violations — no guard existed
+    # then; docs/design.md round-3b).  Round 3c rebuilt the large-n solver
+    # around the top-band strip (eigdc._strip_basis) and the analytic CE
+    # null deflation (5120² → 4608² exactly, vivit_tpu/deflate.py):
+    # measured on the real N=512 Gram vs the f64 oracle, 0/5120 violations
+    # at err/tol ≤ 0.01, and the fused guarded pipeline runs 1901 (xla,
+    # undeflated) → 1457 (xla, deflated) → ~1.16 s (dc strip, deflated).
     big = jax.jit(
         lambda v, X, y: eigvalsh_structured(
             module, v, loss, X, y,
-            precision="highest", gram_precision="bf16", eig_backend="xla",
+            precision="highest", gram_precision="bf16", eig_backend="dc",
             deflate_ce_null=True,
         )[0]
     )
