@@ -140,6 +140,121 @@ def test_streamed_deflated_matches_standard():
     assert np.abs(got - want).max() <= 5e-6 * max(1.0, lmax) + 1e-4 * lmax
 
 
+def test_deflated_eigh_matches_full():
+    """deflated_eigh: same ascending spectrum, true eigenvectors (incl. the
+    analytic null columns), orthonormal."""
+    from vivit_tpu.deflate import deflated_eigh
+
+    G, p = _synthetic_ce_gram(seed=5)
+    Gj, pj = jnp.asarray(G), jnp.asarray(p)
+    ref = np.linalg.eigvalsh(G.astype(np.float64))
+    ev, evec = jax.jit(deflated_eigh)(Gj, pj)
+    ev, evec = np.asarray(ev), np.asarray(evec)
+    lmax = abs(ref[-1])
+    assert np.abs(ev - ref).max() <= 5e-6 * max(1.0, lmax) + 1e-4 * np.abs(ref).max()
+    res = np.abs(G @ evec - evec * ev[None, :]).max()
+    assert res <= 2e-5 * lmax, res / lmax
+    orth = np.abs(evec.T @ evec - np.eye(evec.shape[1])).max()
+    assert orth < 2e-5, orth
+
+
+def test_deflated_topk_matches_full():
+    from vivit_tpu.deflate import deflated_topk_eigh
+
+    G, p = _synthetic_ce_gram(seed=7)
+    ref = np.linalg.eigvalsh(G.astype(np.float64))
+    k = 8
+    ev, evec = jax.jit(
+        lambda g, pr: deflated_topk_eigh(g, pr, k)
+    )(jnp.asarray(G), jnp.asarray(p))
+    ev, evec = np.asarray(ev), np.asarray(evec)
+    lmax = abs(ref[-1])
+    assert np.abs(ev - ref[-k:]).max() <= 5e-6 * max(1.0, lmax) + 1e-4 * lmax
+    res = np.abs(G @ evec - evec * ev[None, :]).max()
+    assert res <= 2e-5 * lmax, res / lmax
+    with pytest.raises(ValueError, match="deflated top-k"):
+        deflated_topk_eigh(jnp.asarray(G), jnp.asarray(p),
+                           (p.shape[1] - 1) * p.shape[0] + 1)
+
+
+def test_eigh_computation_deflated_matches():
+    """EighComputation(deflate_ce_null=True): criterion selections behave
+    identically (evals incl. exact zeros) and eigenvectors match up to sign."""
+    p = next(pp for pp in CE_PROBLEMS if "mean" in pp.name)
+    crit = lambda evals: list(range(len(evals) - 4, len(evals)))
+    groups = [{"params": list(p.paths), "criterion": crit}]
+    want = vt.EighComputation(p.model_fn, p.loss).compute(
+        p.params, p.X, p.y, groups
+    )
+    got = vt.EighComputation(p.model_fn, p.loss, deflate_ce_null=True).compute(
+        p.params, p.X, p.y, groups
+    )
+    (w_evals, w_evecs), (g_evals, g_evecs) = want[0], got[0]
+    lmax = abs(np.asarray(w_evals)[-1])
+    assert np.abs(np.asarray(g_evals) - np.asarray(w_evals)).max() <= (
+        5e-6 * max(1.0, lmax) + 1e-4 * lmax
+    )
+    for wl, gl in zip(w_evecs, g_evecs):
+        wl, gl = np.asarray(wl), np.asarray(gl)
+        K = wl.shape[0]
+        wf, gf = wl.reshape(K, -1), gl.reshape(K, -1)
+        dots = np.abs(np.sum(wf * gf, axis=1)) / (
+            np.linalg.norm(wf, axis=1) * np.linalg.norm(gf, axis=1)
+        )
+        assert dots.min() > 0.999, dots
+
+
+def test_newton_step_topk_deflated_matches():
+    from vivit_tpu.optim import newton_step_topk
+
+    p = next(pp for pp in CE_PROBLEMS if "mean" in pp.name)
+    want = newton_step_topk(p.model_fn, p.loss, p.params, p.X, p.y,
+                            k=3, damping=1.0)
+    got = newton_step_topk(p.model_fn, p.loss, p.params, p.X, p.y,
+                           k=3, damping=1.0, deflate_ce_null=True)
+    for wl, gl in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(wl),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_directional_derivatives_topk_deflated_matches():
+    from vivit_tpu.optim import directional_derivatives_topk
+
+    p = next(pp for pp in CE_PROBLEMS if "mean" in pp.name)
+    we, wg, wl = directional_derivatives_topk(
+        p.model_fn, p.loss, p.params, p.X, p.y, k=3
+    )
+    ge, gg, gl = directional_derivatives_topk(
+        p.model_fn, p.loss, p.params, p.X, p.y, k=3, deflate_ce_null=True
+    )
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(we),
+                               rtol=1e-4, atol=1e-6)
+    # γ sign follows the eigenvector sign: compare magnitudes
+    np.testing.assert_allclose(np.abs(np.asarray(gg)), np.abs(np.asarray(wg)),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(wl),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_newton_step_structured_deflated_matches():
+    from vivit_tpu.models import CNN3c3d
+    from vivit_tpu.structured import newton_step_structured
+
+    module = CNN3c3d(10)
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.normal(size=(6, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, size=(6,)), jnp.int32)
+    variables = module.init(jax.random.PRNGKey(0), X[:1])
+    loss = vt.CrossEntropyLoss("mean")
+    want = newton_step_structured(module, variables, loss, X, y, k=3,
+                                  damping=1.0)
+    got = newton_step_structured(module, variables, loss, X, y, k=3,
+                                 damping=1.0, deflate_ce_null=True)
+    for wl, gl in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(wl),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_rejects_invalid_configs():
     p = CE_PROBLEMS[0]
     with pytest.raises(ValueError, match="mc_samples"):

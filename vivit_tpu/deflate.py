@@ -137,6 +137,83 @@ def deflated_eigvalsh_sharded(
     return jnp.sort(jnp.concatenate([zeros, evals_d]))
 
 
+def ce_null_vectors(probs: jnp.ndarray) -> jnp.ndarray:
+    """The ``S`` analytic null eigenvectors, column-stacked ``[CS, S]``.
+
+    Column ``n`` is the unit vector ``√p_n`` on sample ``n``'s C-block
+    (c-major flat index ``c·S + n``) — disjoint supports, hence exactly
+    orthonormal, and exact members of the Gram's null space (module
+    docstring derivation).
+    """
+    s, c = probs.shape
+    u = jnp.sqrt(probs)  # [S, C], unit rows
+    eye = jnp.eye(s, dtype=u.dtype)
+    # out[c, n, k] = u[k, c] · δ_{nk}  →  flat row c·S+n, column k
+    return (u.T[:, None, :] * eye[None]).reshape(c * s, s)
+
+
+def deflated_eigh(
+    gram: jnp.ndarray,
+    probs: jnp.ndarray,
+    *,
+    backend: str = "xla",
+    key=None,
+) -> tuple:
+    """Full ascending eigenpairs of a CE Gram via exact null deflation.
+
+    Equals ``full_eigh(gram)`` up to f32 noise and per-eigenvector sign:
+    the ``S`` null directions come back as exact ``0.0`` with their
+    *analytic* eigenvectors (:func:`ce_null_vectors`), and the nonzero
+    pairs are the deflated block's, lifted by the complement isometry
+    (:func:`lift_gram_vecs` — an invariant subspace, so the lift is exact).
+    """
+    from vivit_tpu.eig import full_eigh
+
+    w = ce_null_complement(probs)
+    evals_d, evecs_d = full_eigh(
+        deflate_gram(gram, w), backend=backend, eigenvectors=True, key=key
+    )
+    evals = jnp.concatenate(
+        [jnp.zeros((probs.shape[0],), evals_d.dtype), evals_d]
+    )
+    evecs = jnp.concatenate(
+        [ce_null_vectors(probs), lift_gram_vecs(evecs_d, w)], axis=1
+    )
+    order = jnp.argsort(evals)
+    return evals[order], evecs[:, order]
+
+
+def deflated_topk_eigh(
+    gram: jnp.ndarray,
+    probs: jnp.ndarray,
+    k: int,
+    *,
+    solver: str = "eigh",
+    lobpcg_iters: int = 100,
+) -> tuple:
+    """Top-``k`` eigenpairs of a CE Gram via exact null deflation.
+
+    The top ``k ≤ (C−1)·S`` eigenpairs of a PSD CE Gram live entirely in
+    the null complement (the ``S`` structural zeros are the spectrum's
+    bottom), so the deflated block's top-``k`` IS the full top-``k`` —
+    at ``((C−1)/C)³`` the eigensolver cost, or ``(C−1)/C`` per LOBPCG
+    iteration.
+    """
+    from vivit_tpu.eig import topk_eigh
+
+    s, c = probs.shape
+    if k > (c - 1) * s:
+        raise ValueError(
+            f"deflated top-k needs k <= (C-1)*S = {(c - 1) * s} (got {k}): "
+            "beyond that the top-k reaches the structural null space."
+        )
+    w = ce_null_complement(probs)
+    evals_sel, evecs_d = topk_eigh(
+        deflate_gram(gram, w), k, solver=solver, lobpcg_iters=lobpcg_iters
+    )
+    return evals_sel, lift_gram_vecs(evecs_d, w)
+
+
 def lift_gram_vecs(vecs_d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Lift deflated Gram eigenvectors ``[(C−1)S, K]`` back to ``[CS, K]``.
 
@@ -172,8 +249,13 @@ def check_deflatable(loss, mc_samples: int) -> None:
 
 __all__ = [
     "ce_null_complement",
+    "ce_null_vectors",
     "deflate_gram",
+    "deflate_gram_sharded",
     "deflated_eigvalsh",
+    "deflated_eigvalsh_sharded",
+    "deflated_eigh",
+    "deflated_topk_eigh",
     "lift_gram_vecs",
     "ce_probs",
     "check_deflatable",

@@ -32,7 +32,7 @@ from vivit_tpu.utils.checks import check_subsampling_unique
 def _gram_eigh_all(model_fn, loss, params, X, y, *, group_paths, subsampling,
                    mc_samples, key, batch_size=None,
                    precision="highest", gram_precision=None,
-                   eig_backend="xla"):
+                   eig_backend="xla", deflate_ce_null=False):
     """Stage 1: ``Vᵀ`` plus per-group (evals, evecs) of the Gram matrix."""
     with jax.default_matmul_precision(precision):
         return _gram_eigh_all_impl(
@@ -40,12 +40,14 @@ def _gram_eigh_all(model_fn, loss, params, X, y, *, group_paths, subsampling,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
             batch_size=batch_size,
             gram_precision=gram_precision, eig_backend=eig_backend,
+            deflate_ce_null=deflate_ce_null,
         )
 
 
 def _gram_eigh_all_impl(model_fn, loss, params, X, y, *, group_paths,
                         subsampling, mc_samples, key, batch_size,
-                        gram_precision=None, eig_backend="xla"):
+                        gram_precision=None, eig_backend="xla",
+                        deflate_ce_null=False):
     from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
 
@@ -54,12 +56,22 @@ def _gram_eigh_all_impl(model_fn, loss, params, X, y, *, group_paths,
         subsampling=subsampling, mc_samples=mc_samples, key=key,
         batch_size=batch_size,
     )
+    if deflate_ce_null:
+        from vivit_tpu.deflate import deflated_eigh
+
+        idx = None if subsampling is None else jnp.asarray(subsampling)
+        Xs = X if idx is None else jnp.take(X, idx, axis=0)
+        probs = jax.nn.softmax(model_fn(params, Xs), axis=-1)
+
+        def solve(gram):
+            return deflated_eigh(gram, probs, backend=eig_backend)
+    else:
+        def solve(gram):
+            return full_eigh(gram, backend=eig_backend)
+
     eigs = tuple(
-        full_eigh(
-            gram_matrix(vt, paths=paths,
-                        precision=_PRECISIONS[gram_precision]),
-            backend=eig_backend,
-        )
+        solve(gram_matrix(vt, paths=paths,
+                          precision=_PRECISIONS[gram_precision]))
         for paths in group_paths
     )
     return vt, eigs
@@ -98,6 +110,7 @@ def eigh_topk(
     gram_precision: Optional[str] = None,
     solver: str = "eigh",
     lobpcg_iters: int = 100,
+    deflate_ce_null: bool = False,
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Fully-jittable top-``k`` GGN eigenpairs (single group).
 
@@ -106,6 +119,10 @@ def eigh_topk(
     of the ascending eigh output, so the whole computation fuses into one XLA
     program — the production-path answer to the reference's host-side
     ``criterion`` protocol (vivit/linalg/eigh.py:119-127).
+
+    ``deflate_ce_null`` (exact CE only) solves the top-``k`` on the exactly
+    deflated ``(C−1)·S`` Gram and lifts the eigenvectors back — valid for
+    ``k ≤ (C−1)·S`` (:mod:`vivit_tpu.deflate`).
     """
     from vivit_tpu.utils.tree import leaf_paths
 
@@ -114,6 +131,10 @@ def eigh_topk(
 
     if paths is None:
         paths = leaf_paths(params)
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples)
     with jax.default_matmul_precision(precision):
         vt = ggn_sqrt_vt(
             model_fn, loss, params, X, y,
@@ -124,9 +145,19 @@ def eigh_topk(
             vt, paths=paths,
             precision=_PRECISIONS[gram_precision],
         )
-        top_evals, top_evecs = topk_eigh(
-            gram, k, solver=solver, lobpcg_iters=lobpcg_iters
-        )
+        if deflate_ce_null:
+            from vivit_tpu.deflate import deflated_topk_eigh
+
+            idx = None if subsampling is None else jnp.asarray(subsampling)
+            Xs = X if idx is None else jnp.take(X, idx, axis=0)
+            probs = jax.nn.softmax(model_fn(params, Xs), axis=-1)
+            top_evals, top_evecs = deflated_topk_eigh(
+                gram, probs, k, solver=solver, lobpcg_iters=lobpcg_iters
+            )
+        else:
+            top_evals, top_evecs = topk_eigh(
+                gram, k, solver=solver, lobpcg_iters=lobpcg_iters
+            )
         return top_evals, backproject(vt, top_evecs, top_evals, paths)
 
 
@@ -137,7 +168,11 @@ class EighComputation:
     ``'criterion'`` (``Callable[[ascending evals], List[int]]``), identical in
     meaning to the reference.  ``eig_backend="dc"`` dispatches the Gram
     eigendecomposition to the MXU-native spectral-D&C solver
-    (:mod:`vivit_tpu.eigdc`) with its runtime guard.
+    (:mod:`vivit_tpu.eigdc`) with its runtime guard.  ``deflate_ce_null``
+    (exact CE only) shrinks each group's eigenproblem to ``(C−1)·S`` via
+    :mod:`vivit_tpu.deflate`; the ``S`` structural zeros come back exact,
+    with their *analytic* eigenvectors, so criterion selections behave
+    identically.
     """
 
     def __init__(
@@ -151,8 +186,14 @@ class EighComputation:
         precision: str = "highest",
         gram_precision: Optional[str] = None,
         eig_backend: str = "xla",
+        deflate_ce_null: bool = False,
     ):
         check_subsampling_unique(subsampling)
+        if deflate_ce_null:
+            from vivit_tpu.deflate import check_deflatable
+
+            check_deflatable(loss, mc_samples)
+        self._deflate_ce_null = deflate_ce_null
         self._model_fn = model_fn
         self._loss = loss
         self._subsampling = None if subsampling is None else tuple(subsampling)
@@ -178,6 +219,7 @@ class EighComputation:
                 precision=self._precision,
                 gram_precision=self._gram_precision,
                 eig_backend=self._eig_backend,
+                deflate_ce_null=self._deflate_ce_null,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

@@ -80,6 +80,7 @@ def newton_step_topk(
     gram_precision: Optional[str] = None,
     solver: str = "eigh",
     lobpcg_iters: int = 100,
+    deflate_ce_null: bool = False,
 ) -> List[jnp.ndarray]:
     """Fully-jittable damped Newton step along the top-``k`` directions.
 
@@ -87,7 +88,10 @@ def newton_step_topk(
     the production path for second-order optimization on TPU.
     ``solver="lobpcg"`` replaces the full Gram eigendecomposition by a
     top-``k`` iteration (docs/design.md: the eigensolver is the second-largest
-    cost of the pipeline).
+    cost of the pipeline).  ``deflate_ce_null`` (exact CE only) runs the
+    top-``k`` on the exactly deflated ``(C−1)·S`` Gram with lifted
+    eigenvectors (:mod:`vivit_tpu.deflate`); γ/λ and the step are unchanged
+    to f32 noise.
     """
     from vivit_tpu.eig import topk_eigh
     from vivit_tpu.utils.tree import leaf_paths
@@ -96,6 +100,10 @@ def newton_step_topk(
         paths = tuple(leaf_paths(params))
     n = batch_size if batch_size is not None else X.shape[0]
     s_ggn = len(subsampling_ggn) if subsampling_ggn is not None else n
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples_ggn)
     vt, per_group = derivatives_stage1(
         model_fn, loss, params, X, y,
         group_paths=(tuple(paths),),
@@ -109,8 +117,20 @@ def newton_step_topk(
         compute_eigh=False,
     )
     gram, _, _, v_t_g = per_group[0]
-    evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver,
-                                     lobpcg_iters=lobpcg_iters)
+    if deflate_ce_null:
+        from vivit_tpu.deflate import deflated_topk_eigh
+
+        idx = (None if subsampling_ggn is None
+               else jnp.asarray(subsampling_ggn))
+        Xs = X if idx is None else jnp.take(X, idx, axis=0)
+        with jax.default_matmul_precision(precision):
+            probs = jax.nn.softmax(model_fn(params, Xs), axis=-1)
+            evals_sel, evecs_sel = deflated_topk_eigh(
+                gram, probs, k, solver=solver, lobpcg_iters=lobpcg_iters
+            )
+    else:
+        evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver,
+                                         lobpcg_iters=lobpcg_iters)
     gammas, lambdas = gammas_lambdas(gram, evals_sel, evecs_sel, v_t_g, s_ggn)
     # damping: scalar or the reference's per-group callable (traced — must
     # be jnp-compatible), vivit/optim/directional_damped_newton.py:140-176
@@ -143,9 +163,15 @@ class DirectionalDampedNewtonComputation:
         precision: str = "highest",
         gram_precision: Optional[str] = None,
         eig_backend: str = "xla",
+        deflate_ce_null: bool = False,
     ):
         check_subsampling_unique(subsampling_grad)
         check_subsampling_unique(subsampling_ggn)
+        if deflate_ce_null:
+            from vivit_tpu.deflate import check_deflatable
+
+            check_deflatable(loss, mc_samples_ggn)
+        self._deflate_ce_null = deflate_ce_null
         self._model_fn = model_fn
         self._loss = loss
         self._subsampling_grad = (
@@ -176,6 +202,7 @@ class DirectionalDampedNewtonComputation:
                 precision=self._precision,
                 gram_precision=self._gram_precision,
                 eig_backend=self._eig_backend,
+                deflate_ce_null=self._deflate_ce_null,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

@@ -38,8 +38,13 @@ def directional_derivatives_topk(
     precision: str = "highest",
     gram_precision: Optional[str] = None,
     solver: str = "eigh",
+    deflate_ce_null: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fully-jittable ``(evals, γ, λ)`` along the top-``k`` GGN directions."""
+    """Fully-jittable ``(evals, γ, λ)`` along the top-``k`` GGN directions.
+
+    ``deflate_ce_null`` (exact CE only): top-``k`` on the exactly deflated
+    ``(C−1)·S`` Gram with lifted eigenvectors (:mod:`vivit_tpu.deflate`).
+    """
     from vivit_tpu.eig import topk_eigh
     from vivit_tpu.utils.tree import leaf_paths
 
@@ -47,6 +52,10 @@ def directional_derivatives_topk(
         paths = tuple(leaf_paths(params))
     n = batch_size if batch_size is not None else X.shape[0]
     s_ggn = len(subsampling_ggn) if subsampling_ggn is not None else n
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples_ggn)
     _, per_group = derivatives_stage1(
         model_fn, loss, params, X, y,
         group_paths=(tuple(paths),),
@@ -60,7 +69,19 @@ def directional_derivatives_topk(
         compute_eigh=False,
     )
     gram, _, _, v_t_g = per_group[0]
-    evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver)
+    if deflate_ce_null:
+        from vivit_tpu.deflate import deflated_topk_eigh
+
+        idx = (None if subsampling_ggn is None
+               else jnp.asarray(subsampling_ggn))
+        Xs = X if idx is None else jnp.take(X, idx, axis=0)
+        with jax.default_matmul_precision(precision):
+            probs = jax.nn.softmax(model_fn(params, Xs), axis=-1)
+            evals_sel, evecs_sel = deflated_topk_eigh(
+                gram, probs, k, solver=solver
+            )
+    else:
+        evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver)
     gammas, lambdas = gammas_lambdas(gram, evals_sel, evecs_sel, v_t_g, s_ggn)
     return evals_sel, gammas, lambdas
 
@@ -84,9 +105,15 @@ class DirectionalDerivativesComputation:
         precision: str = "highest",
         gram_precision: Optional[str] = None,
         eig_backend: str = "xla",
+        deflate_ce_null: bool = False,
     ):
         check_subsampling_unique(subsampling_grad)
         check_subsampling_unique(subsampling_ggn)
+        if deflate_ce_null:
+            from vivit_tpu.deflate import check_deflatable
+
+            check_deflatable(loss, mc_samples_ggn)
+        self._deflate_ce_null = deflate_ce_null
         self._model_fn = model_fn
         self._loss = loss
         self._subsampling_grad = (
@@ -118,6 +145,7 @@ class DirectionalDerivativesComputation:
                 precision=self._precision,
                 gram_precision=self._gram_precision,
                 eig_backend=self._eig_backend,
+                deflate_ce_null=self._deflate_ce_null,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)

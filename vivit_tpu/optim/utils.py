@@ -47,6 +47,7 @@ def derivatives_stage1(
     gram_precision=None,
     compute_eigh: bool = True,
     eig_backend: str = "xla",
+    deflate_ce_null: bool = False,
 ):
     """Jittable stage 1: ``Vᵀ``, per-group Gram eigendecomposition, ``Vᵀ G``.
 
@@ -55,6 +56,10 @@ def derivatives_stage1(
 
     ``eig_backend="dc"`` runs the Gram eigendecomposition through the
     MXU-native spectral-D&C solver (:mod:`vivit_tpu.eigdc`, guarded).
+    ``deflate_ce_null`` (exact CE only) solves each eigendecomposition on
+    the exactly deflated ``(C−1)·S`` Gram and lifts the eigenvectors
+    (:mod:`vivit_tpu.deflate`); the full Gram is still returned (λ needs
+    it), only the eigensolve shrinks.
     """
     with jax.default_matmul_precision(precision):
         return _derivatives_stage1_impl(
@@ -63,6 +68,7 @@ def derivatives_stage1(
             mc_samples_ggn=mc_samples_ggn, key=key, batch_size=batch_size,
             gram_precision=gram_precision,
             compute_eigh=compute_eigh, eig_backend=eig_backend,
+            deflate_ce_null=deflate_ce_null,
         )
 
 
@@ -70,6 +76,7 @@ def _derivatives_stage1_impl(
     model_fn, loss, params, X, y, *, group_paths, subsampling_grad,
     subsampling_ggn, mc_samples_ggn, key, batch_size,
     gram_precision=None, compute_eigh=True, eig_backend="xla",
+    deflate_ce_null=False,
 ):
     if loss.reduction != "mean":
         raise ValueError(
@@ -90,11 +97,25 @@ def _derivatives_stage1_impl(
 
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
 
+    probs = None
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples_ggn)
+        idx = (None if subsampling_ggn is None
+               else jnp.asarray(subsampling_ggn))
+        Xs = X if idx is None else jnp.take(X, idx, axis=0)
+        probs = jax.nn.softmax(model_fn(params, Xs), axis=-1)
+
     per_group = []
     for paths in group_paths:
         gram = gram_matrix(vt, paths=paths,
                            precision=_PRECISIONS[gram_precision])
-        if compute_eigh:
+        if compute_eigh and probs is not None:
+            from vivit_tpu.deflate import deflated_eigh
+
+            evals, evecs = deflated_eigh(gram, probs, backend=eig_backend)
+        elif compute_eigh:
             evals, evecs = full_eigh(gram, backend=eig_backend)
         else:
             evals, evecs = None, None

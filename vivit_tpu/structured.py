@@ -276,11 +276,14 @@ def newton_step_structured(
     gram_precision: Optional[str] = None,
     solver: str = "eigh",
     lobpcg_iters: int = 100,
+    deflate_ce_null: bool = False,
 ) -> List[jnp.ndarray]:
     """Damped Newton step with the Dense fast path (jittable, flax models).
 
     Same semantics as :func:`vivit_tpu.optim.newton_step_topk`; the dense
     Gram/projection work runs in Kronecker-factored form.
+    ``deflate_ce_null`` (exact CE only): top-``k`` on the exactly deflated
+    ``(C−1)·S`` Gram with lifted eigenvectors (:mod:`vivit_tpu.deflate`).
     """
     from vivit_tpu.eig import topk_eigh
     from vivit_tpu.ggn import batch_grad
@@ -290,6 +293,10 @@ def newton_step_structured(
 
     if loss.reduction != "mean":
         raise ValueError("Newton step requires reduction='mean'.")
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples_ggn)
     params = variables["params"]
     consts = {kk: v for kk, v in variables.items() if kk != "params"}
 
@@ -308,8 +315,19 @@ def newton_step_structured(
         gram = gram_matrix_mixed(
             vt, paths, generic_precision=_PRECISIONS[gram_precision]
         )
-        evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver,
-                                         lobpcg_iters=lobpcg_iters)
+        if deflate_ce_null:
+            from vivit_tpu.deflate import deflated_topk_eigh
+
+            idx = (None if subsampling_ggn is None
+                   else jnp.asarray(subsampling_ggn))
+            Xs = X if idx is None else jnp.take(X, idx, axis=0)
+            probs = jax.nn.softmax(module.apply(variables, Xs), axis=-1)
+            evals_sel, evecs_sel = deflated_topk_eigh(
+                gram, probs, k, solver=solver, lobpcg_iters=lobpcg_iters
+            )
+        else:
+            evals_sel, evecs_sel = topk_eigh(gram, k, solver=solver,
+                                             lobpcg_iters=lobpcg_iters)
 
         grads = batch_grad(model_fn, loss, params, X, y,
                            subsampling=subsampling_grad)
