@@ -736,9 +736,22 @@ def eigh_dc(
             if q_prec is None:
                 q_prec = "highest"
     if dm_iters is None:
-        dm_iters = (2, 1, 1) if strip_on else (2, 2, 1)
+        # strip path (1,1,0) + ns_global 4: the round-3d polish ladder,
+        # measured on the real deflated 4608 Gram and accepted against the
+        # f64 ladder (real 1920/2560/5120-raw + synthetic ggn 2048):
+        # (2,1,1)/ns5 982 ms → (2,1,0)/ns4 948 → (1,1,0)/ns4 897 ms with
+        # real-Gram margins unchanged (err/tol 0.01-0.07).  The exact
+        # top/bottom blocks + windowed-Jacobi sweeps cover the dropped
+        # DM iterations on real spectra; the MID-polish DM (second slot)
+        # is load-bearing on skewed synthetic profiles — (1,0,0) leaves
+        # 73/2048 violations on the exp-decay ggn case (ratio 2.0) that
+        # more global NS does NOT fix (ns5: 74), while (1,1,0) holds 0 at
+        # ratio 0.58 ((2,1,0): 0.15).  sign_iters_root (7,3) would buy
+        # 22 ms more but fails the ladder outright at 1920 (17 violations,
+        # ratio 11) — rejected; non-root sign (7,3) breaks at 4608 (8.6).
+        dm_iters = (1, 1, 0) if strip_on else (2, 2, 1)
     if ns_global is None:
-        ns_global = 5 if strip_on else 6
+        ns_global = 4 if strip_on else 6
     if dm_ns is None:
         dm_ns = 1 if strip_on else 2
 

@@ -87,6 +87,7 @@ def ggn_sqrt_vt(
     batch_size: Optional[int] = None,
     column_scale: Optional[jnp.ndarray] = None,
     sample_ids: Optional[jnp.ndarray] = None,
+    deflate_ce_null: bool = False,
 ) -> Any:
     """Compute ``Vᵀ`` as a pytree with leading ``[CF, S]`` axes per leaf.
 
@@ -118,6 +119,15 @@ def ggn_sqrt_vt(
         sample_ids: Global sample indices used for MC PRNG folding (default:
             ``subsampling`` or ``arange``).  Data-parallel shards pass their
             global positions so MC draws are invariant to the chip layout.
+        deflate_ce_null: Exact-CE analytic null deflation at the *factor*
+            level: the ``[CF, C]`` factor rows of each sample are projected
+            onto the CE null complement BEFORE the vjp, so ``Vᵀ`` comes out
+            with ``CF−1`` factor rows — one fewer vjp cotangent per sample
+            and a ``((C−1)/C)²``-smaller Gram, at the cost of one tiny
+            ``[C−1, C] @ [C, C]`` per sample.  The result satisfies
+            ``V_d = V W`` exactly, so Gram eigenvectors back-project and
+            γ/λ compose without any lift step (:mod:`vivit_tpu.deflate`).
+            Callers must enforce :func:`vivit_tpu.deflate.check_deflatable`.
 
     Returns:
         Pytree of ``Vᵀ`` blocks (same structure as ``params``).
@@ -141,6 +151,14 @@ def ggn_sqrt_vt(
         if column_scale is None:
             column_scale = jnp.sqrt(jnp.asarray(loss.rho(N) * N / S))
         factors = factors * jnp.asarray(column_scale, dtype=factors.dtype)
+        if deflate_ce_null:
+            from vivit_tpu.deflate import ce_null_complement
+
+            w = ce_null_complement(jax.nn.softmax(f, axis=-1))  # [S, C, C-1]
+            factors = jnp.einsum(
+                "sca,sck->sak", w, factors,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [S, CF-1, C]
 
     def vt_column(x_n, s_row):
         """One V column: J_nᵀ s — vjp of the single-sample forward."""

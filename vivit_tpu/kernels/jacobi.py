@@ -24,11 +24,22 @@ def batched_eigh_xla(A):
     return jnp.linalg.eigh(A)
 
 
+# Measured on TPU v5e (round 3d, net of tunnel RTT): XLA's *vmapped* eigh
+# degrades ~2.3x per matrix once the blocks are large — [4, 512²] runs
+# 83 ms vmapped vs 48 ms as a lax.map of single solves; [9, 512²] 192 vs
+# 94 ms (the batched lowering trades the fast single-matrix path for a
+# batch-parallel one that a single chip cannot exploit).  Small windows
+# ([72, 64²], [40, 32²]) stay on the batched path where it wins.
+_MAP_MIN_K = 256
+
+
 def batched_eigh(A):
     """Batched symmetric eigendecomposition (ascending eigenvalues).
 
-    Dispatches to the Pallas odd-even Jacobi kernel on TPU for supported
-    shapes, falling back to XLA elsewhere (CPU tests, odd sizes).
+    Dispatches by measured policy: the Pallas odd-even Jacobi kernel for
+    supported small-window shapes, a ``lax.map`` of single solves for
+    multi-batch LARGE blocks (D&C leaves — see ``_MAP_MIN_K``), and the
+    stock batched XLA eigh elsewhere (CPU tests, odd sizes).
     """
     from vivit_tpu.kernels.jacobi_pallas import (
         jacobi_supported, batched_eigh_jacobi,
@@ -36,4 +47,6 @@ def batched_eigh(A):
 
     if jacobi_supported(A.shape, A.dtype):
         return batched_eigh_jacobi(A)
+    if A.ndim == 3 and A.shape[0] > 1 and A.shape[-1] >= _MAP_MIN_K:
+        return jax.lax.map(jnp.linalg.eigh, A)
     return batched_eigh_xla(A)

@@ -55,7 +55,13 @@ def jacobi_supported(shape, dtype) -> bool:
     # Empirical envelope (docs/design.md): the kernel wins vs XLA only for
     # small matrices; Mosaic's scoped-VMEM stack OOMs for large batches of
     # tiny tiles ([160,16,16] and [16,160,160] both failed to compile while
-    # [40,32,32] runs).  Dispatch exactly the measured-good region.
+    # [40,32,32] runs).  Round-3d re-measurement: [72,64²] (the w=64
+    # strip-path polish windows) compiles and wins STANDALONE (10.2 vs
+    # 13.4 ms net) but is 24 ms SLOWER inside the fused 4608 solve — XLA
+    # overlaps its batched window eigh with independent chain work while
+    # the Pallas kernel serializes; [144,64²] fails to compile outright.
+    # Same in-pipeline-beats-standalone lesson as the round-2 SYRK kernel:
+    # the envelope stays at the in-situ-validated b·m ≤ 2048.
     return m == m2 and m % 16 == 0 and 32 <= m <= 64 and b * m <= 2048
 
 

@@ -132,6 +132,7 @@ def structured_ggn_sqrt_vt(
     key: Optional[jax.Array] = None,
     batch_size: Optional[int] = None,
     sample_ids: Optional[jnp.ndarray] = None,
+    deflate_ce_null: bool = False,
 ) -> Dict[str, Any]:
     """Mixed ``Vᵀ``: generic array leaves + :class:`DenseFactor` kernels.
 
@@ -184,6 +185,7 @@ def structured_ggn_sqrt_vt(
         model_fn_partial, loss, diff_flat, X, y,
         subsampling=subsampling, mc_samples=mc_samples, key=key,
         batch_size=batch_size, sample_ids=sample_ids,
+        deflate_ce_null=deflate_ce_null,
     )
 
     mixed: Dict[str, Any] = dict(vt_generic)
@@ -382,28 +384,39 @@ def eigvalsh_structured(
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
     from vivit_tpu.utils.tree import leaf_paths
 
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples)
+
     with jax.default_matmul_precision(precision):
+        # deflate_ce_null: factor-LEVEL deflation inside the V-transform
+        # (vivit_tpu.ggn.ggn_sqrt_vt) — the factor rows are projected before
+        # the vjp, so V materializes at (C−1)·S directly: one fewer vjp
+        # cotangent per sample AND a ((C−1)/C)²-smaller Gram contraction.
+        # (Projecting the materialized V afterwards was measured SLOWER —
+        # the [CF, S, D] einsum's layout transposes cost more than the Gram
+        # saving: headline 72.3 → 86.0 ms; docs/design.md round-3d.)
         vt = structured_ggn_sqrt_vt(
             module, variables, loss, X, y,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
+            deflate_ce_null=deflate_ce_null,
         )
         if group_paths is None:
             group_paths = (tuple(leaf_paths(variables["params"])),)
 
-        probs = None
         if deflate_ce_null:
-            from vivit_tpu.deflate import check_deflatable, deflated_eigvalsh
+            s = X.shape[0] if subsampling is None else len(subsampling)
+            zeros = jnp.zeros((s,), jnp.float32)
 
-            check_deflatable(loss, mc_samples)
-            idx = None if subsampling is None else jnp.asarray(subsampling)
-            Xs = X if idx is None else jnp.take(X, idx, axis=0)
-            probs = jax.nn.softmax(module.apply(variables, Xs), axis=-1)
-
-        def solve(gram):
-            if probs is not None:
-                return deflated_eigvalsh(gram, probs, backend=eig_backend)
-            return full_eigh(gram, backend=eig_backend,
-                             eigenvectors=False)[0]
+            def solve(gram):
+                evals_d, _ = full_eigh(gram, backend=eig_backend,
+                                       eigenvectors=False)
+                return jnp.sort(jnp.concatenate([zeros, evals_d]))
+        else:
+            def solve(gram):
+                return full_eigh(gram, backend=eig_backend,
+                                 eigenvectors=False)[0]
 
         return tuple(
             solve(
