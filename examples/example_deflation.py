@@ -1,0 +1,85 @@
+"""Analytic CE null-space deflation — an exact eigenproblem reduction.
+
+A round-3 capability beyond the reference: for the exact CrossEntropy
+loss, every sample's factor rows obey one analytic linear dependence
+(``Σ_c √p_c · s_{n,c} = 0``), so the ``[CN × CN]`` Gram carries ``N``
+structural zero eigenvalues whose eigenvectors are *known in closed form*
+(``√p_n``, disjoint supports — already orthonormal).  ``vivit_tpu.deflate``
+turns that into an exact reduction of every eigenproblem from ``C·N`` to
+``(C−1)·N``:
+
+* 0.73× the O(n³) eigensolver cost at C=10 (5120² → 4608² on the
+  CIFAR-10 3c3d N=512 benchmark),
+* at the *factor level* (``ggn_sqrt_vt(deflate_ce_null=True)``) also one
+  fewer vjp cotangent per sample and a ``((C−1)/C)²``-smaller Gram build,
+* with the zeros returned exactly and eigenvector back-projection
+  composing with no extra lift step (``V_d ẽ = V (W ẽ)``).
+
+The reference has no counterpart — ``torch.symeig`` always grinds through
+the known zeros (vivit/linalg/eigvalsh.py:221).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import vivit_tpu as vt
+from vivit_tpu.models import MLP, init_model
+from vivit_tpu.utils.tree import leaf_paths
+
+N, D_IN, C = 32, 10, 6
+
+rng = np.random.default_rng(0)
+X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+
+model_fn, params = init_model(MLP(features=(40, C)), (D_IN,), seed=0)
+loss = vt.CrossEntropyLoss("mean")
+group = (tuple(leaf_paths(params)),)
+
+# 1) the deflated spectrum equals the full one — with exact zeros
+(evals_full,) = vt.eigvalsh(model_fn, loss, params, X, y, group_paths=group)
+(evals_defl,) = vt.eigvalsh(model_fn, loss, params, X, y, group_paths=group,
+                            deflate_ce_null=True)
+lmax = float(evals_full[-1])
+assert np.allclose(np.asarray(evals_defl), np.asarray(evals_full),
+                   rtol=1e-4, atol=5e-6 * max(1.0, lmax))
+assert np.abs(np.asarray(evals_defl)[:N]).max() == 0.0  # exact zeros
+print(f"deflated spectrum matches (λmax {lmax:.4f}); {N} exact zeros")
+
+# 2) eigenpairs: the analytic null vectors + lifted nonzero pairs
+comp = vt.EighComputation(model_fn, loss, deflate_ce_null=True)
+top4 = lambda ev: list(range(len(ev) - 4, len(ev)))
+((evals_top, evecs_top),) = comp.compute(
+    params, X, y, [{"params": list(group[0]), "criterion": top4}]
+)
+ref = vt.EighComputation(model_fn, loss).compute(
+    params, X, y, [{"params": list(group[0]), "criterion": top4}]
+)[0]
+for got, want in zip(evecs_top, ref[1]):
+    K = got.shape[0]
+    g, w = np.asarray(got).reshape(K, -1), np.asarray(want).reshape(K, -1)
+    dots = np.abs(np.sum(g * w, 1)) / (
+        np.linalg.norm(g, axis=1) * np.linalg.norm(w, axis=1)
+    )
+    assert dots.min() > 0.999  # same directions up to sign
+print("deflated eigenpairs match the undeflated computation")
+
+# 3) the damped Newton step is unchanged to f32 noise — cheaper top-k
+from vivit_tpu.optim import newton_step_topk
+
+step = newton_step_topk(model_fn, loss, params, X, y, k=3, damping=1.0)
+step_d = newton_step_topk(model_fn, loss, params, X, y, k=3, damping=1.0,
+                          deflate_ce_null=True)
+for a, b in zip(step, step_d):
+    assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+print("deflated Newton step matches")
+
+# 4) guardrails: deflation is exact-CE-only
+try:
+    vt.eigvalsh(model_fn, vt.MSELoss("mean"), params, X,
+                jnp.zeros((N, C), jnp.float32), group_paths=group,
+                deflate_ce_null=True)
+    raise AssertionError("should have raised")
+except ValueError as e:
+    print(f"MSE correctly rejected: {str(e)[:60]}...")

@@ -736,22 +736,33 @@ def eigh_dc(
             if q_prec is None:
                 q_prec = "highest"
     if dm_iters is None:
-        # strip path (1,1,0) + ns_global 4: the round-3d polish ladder,
-        # measured on the real deflated 4608 Gram and accepted against the
-        # f64 ladder (real 1920/2560/5120-raw + synthetic ggn 2048):
-        # (2,1,1)/ns5 982 ms → (2,1,0)/ns4 948 → (1,1,0)/ns4 897 ms with
-        # real-Gram margins unchanged (err/tol 0.01-0.07).  The exact
-        # top/bottom blocks + windowed-Jacobi sweeps cover the dropped
-        # DM iterations on real spectra; the MID-polish DM (second slot)
-        # is load-bearing on skewed synthetic profiles — (1,0,0) leaves
-        # 73/2048 violations on the exp-decay ggn case (ratio 2.0) that
-        # more global NS does NOT fix (ns5: 74), while (1,1,0) holds 0 at
-        # ratio 0.58 ((2,1,0): 0.15).  sign_iters_root (7,3) would buy
-        # 22 ms more but fails the ladder outright at 1920 (17 violations,
-        # ratio 11) — rejected; non-root sign (7,3) breaks at 4608 (8.6).
-        dm_iters = (1, 1, 0) if strip_on else (2, 2, 1)
+        # strip path, eigenvalues-only: dm (0,0,0) + ns_global 4 — the
+        # round-3d polish ladder.  The final second-order scalar mop-up
+        # (below) does the DM iterations' *eigenvalue* work for ~1 ms, so
+        # every DM drops: measured on the real deflated 4608 Gram,
+        # guarded on-chip (no fallback), (2,1,1)/ns5 982 ms → (1,1,0)/ns4
+        # 911 → (1,0,0) 877 → (0,0,0) 844 ms, with the full f64
+        # acceptance ladder (real 1920/2560/5120-raw at ratio 0.01,
+        # synthetic exp-decay ggn 2048 seeds, bench512-2560) at 0
+        # violations and BETTER margins than the pre-correction (1,1,0)
+        # defaults (ggn 0.08-0.11 vs 0.58).  Without the correction,
+        # (1,0,0) fails the exp-decay leg outright (73/2048 at 2.0; more
+        # global NS does not fix it) — the mid DM was load-bearing for
+        # exactly the second-order coupling effect the correction now
+        # computes analytically.
+        # Eigenvector mode keeps the round-3c-validated (2,1,1)/ns5
+        # polish: the scalar correction cannot move the VECTORS, so the
+        # DM rotations still carry the eigh-mode residual/orthonormality
+        # bars (the runtime guard protects either way).
+        # Rejected by the ladder regardless of polish: sign_iters_root
+        # (7,3) (real 1920: 16-17 violations at 10.5), non-root sign
+        # (7,3) (8.6 at 4608), orth (6,2) (383 violations at 2.9).
+        if strip_on:
+            dm_iters = (2, 1, 1) if eigenvectors else (0, 0, 0)
+        else:
+            dm_iters = (2, 2, 1)
     if ns_global is None:
-        ns_global = 4 if strip_on else 6
+        ns_global = (5 if eigenvectors else 4) if strip_on else 6
     if dm_ns is None:
         dm_ns = 1 if strip_on else 2
 
@@ -892,6 +903,25 @@ def eigh_dc(
                                ns_iters=dm_ns)
 
     d = jnp.diag(Bt)
+    if not eigenvectors:
+        # eigenvalues-only: one free second-order perturbation mop-up.
+        # For well-separated pairs (|gap| > 3|E|, the Davies-Modi guard
+        # convention — the PT series converges there) the remaining
+        # coupling's eigenvalue effect is exactly Σ_j E_ij²/(d_i − d_j)
+        # to second order; adding it scalar-wise costs one O(m²)
+        # elementwise pass (~1 ms at 4608) vs ~30 ms for a DM iteration
+        # that rotates the whole pencil to achieve the same first
+        # correction.  Near-degenerate pairs are left to the windowed
+        # sweeps (a signed Σ over them would diverge).  Eigenvector mode
+        # skips this: the vectors in Qp would lag the corrected values,
+        # breaking the G e = λ e property tolerance.
+        d0 = d
+        E0 = Bt - jnp.diag(d0)
+        gap0 = d0[:, None] - d0[None, :]
+        ok0 = jnp.abs(gap0) > 3.0 * jnp.abs(E0)
+        corr = jnp.where(ok0, E0 * E0 / jnp.where(gap0 == 0.0, 1.0, gap0),
+                         0.0)
+        d = d0 + jnp.sum(corr, axis=1)
     order = jnp.argsort(d)
     # drop the pad: the (m - n) redundant columns collapsed to spurious
     # zeros — for PSD H these are the smallest entries of the ascending
@@ -912,11 +942,22 @@ def eigh_dc(
     # couplings among null-space junk columns of rank-deficient Grams
     # (measured: healthy spectra incl. the CE bench Gram ≤ 3e-6, failing
     # degenerate clusters ≥ 2e-3 — a 1000× separation).
-    E = Bt - jnp.diag(d)
+    E = Bt - jnp.diag(jnp.diag(Bt))
     lmax = jnp.max(jnp.abs(d)) + 1e-30
     I_m = jnp.eye(m, dtype=_F32)
     gap = jnp.abs(d[None, :] - d[:, None]) + I_m
     term = jnp.minimum(E * E / jnp.maximum(gap, 1e-30), jnp.abs(E))
+    if not eigenvectors:
+        # the scalar mop-up above already removed the second-order effect
+        # of every ok-pair coupling — for those pairs the residual is
+        # third-order, |E|·(E/gap)² ≤ |E|/9.  Keeping the second-order
+        # bound here would flag exactly what was just corrected (measured:
+        # healthy-Gram corrections reach ~1e-3·λmax under light polish,
+        # 10× over the 1e-4 guard) and force spurious XLA fallbacks.
+        third = jnp.abs(E) * jnp.square(
+            E / jnp.maximum(jnp.abs(gap0), 1e-30)
+        )
+        term = jnp.where(ok0, jnp.minimum(third, jnp.abs(E)), term)
     term = term * (1.0 - I_m)
     bound = jnp.max(jnp.sum(term, axis=1)) / lmax
     # defect 2: orthonormality among the *significant* columns only —
