@@ -63,8 +63,14 @@ def _pair_block(vt_i, vt_j, paths, precision=None):
 
 
 def _prepare_factors(model_fn, loss, params, X, y, *, paths, subsampling,
-                      mc_samples, key, batch_size):
-    """Shared stream setup: ``(paths, Xs, scaled factors [S, CF, C], N)``."""
+                      mc_samples, key, batch_size, deflate_ce_null=False):
+    """Shared stream setup: ``(paths, Xs, scaled factors [S, CF, C], N)``.
+
+    ``deflate_ce_null`` applies the factor-level CE null projection
+    (:func:`vivit_tpu.ggn.ggn_sqrt_vt` semantics): the stream shortens to
+    ``CF−1`` factor slices — ``(CF−1) + (CF−1)·CF/2`` backward passes
+    instead of ``CF + CF·(CF+1)/2``, on top of the smaller Gram.
+    """
     check_subsampling_unique(subsampling)
     if paths is None:
         from vivit_tpu.utils.tree import leaf_paths
@@ -85,6 +91,14 @@ def _prepare_factors(model_fn, loss, params, X, y, *, paths, subsampling,
     factors = factors * jnp.sqrt(
         jnp.asarray(loss.rho(N) * N / S, dtype=factors.dtype)
     )
+    if deflate_ce_null:
+        from vivit_tpu.deflate import ce_null_complement
+
+        w = ce_null_complement(jax.nn.softmax(f, axis=-1))  # [S, C, C-1]
+        factors = jnp.einsum(
+            "sca,sck->sak", w, factors,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [S, CF-1, C]
     return tuple(paths), Xs, factors, N
 
 
@@ -114,6 +128,7 @@ def gram_streamed(
     batch_size: Optional[int] = None,
     precision=None,
     grad_leaves: Optional[Sequence[jnp.ndarray]] = None,
+    deflate_ce_null: bool = False,
 ):
     """``[CF·S, CF·S]`` GGN Gram without materializing the full ``Vᵀ``.
 
@@ -126,10 +141,15 @@ def gram_streamed(
     order): also accumulate ``Vᵀ g`` row-blocks while each i-slice is
     resident — the streamed equivalent of the derivatives pipeline's
     ``V_t_g`` at no extra backward passes.  Returns ``(gram, v_t_g)`` then.
+
+    ``deflate_ce_null``: factor-level CE null deflation — the returned
+    Gram is the exactly-deflated ``[(C−1)·S]²`` one AND the stream itself
+    shortens by one factor slice (see :func:`_prepare_factors`).
     """
     paths, Xs, factors, _ = _prepare_factors(
         model_fn, loss, params, X, y, paths=paths, subsampling=subsampling,
         mc_samples=mc_samples, key=key, batch_size=batch_size,
+        deflate_ce_null=deflate_ce_null,
     )
     S = Xs.shape[0]
     cf = factors.shape[1]
@@ -224,9 +244,10 @@ def eigvalsh_streamed(
     ``eig_backend="dc"`` dispatches the eigendecomposition to the MXU-native
     spectral-D&C solver (guarded) — the right default at streaming sizes,
     where the Gram is large enough for dc's matmul advantage to dominate.
-    ``deflate_ce_null`` (exact CE only) shrinks the eigenproblem to
-    ``(C−1)·S`` via :mod:`vivit_tpu.deflate` — streaming sizes are exactly
-    where the O(n³) saving is largest.
+    ``deflate_ce_null`` (exact CE only) applies the factor-level CE null
+    projection (:mod:`vivit_tpu.deflate`): the eigenproblem shrinks to
+    ``(C−1)·S`` AND the factor stream shortens by one slice — streaming
+    sizes are exactly where both savings are largest.
     """
     from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
@@ -234,19 +255,19 @@ def eigvalsh_streamed(
 
     if group_paths is None:
         group_paths = (tuple(leaf_paths(params)),)
-    probs = None
+    zeros = None
     if deflate_ce_null:
         from vivit_tpu.deflate import check_deflatable
 
         check_deflatable(loss, mc_samples)
-        Xs, _ = _subsample(X, y, subsampling)
-        probs = jax.nn.softmax(model_fn(params, Xs), axis=-1)
+        s = X.shape[0] if subsampling is None else len(subsampling)
+        zeros = jnp.zeros((s,), jnp.float32)
 
     def solve(gram):
-        if probs is not None:
-            from vivit_tpu.deflate import deflated_eigvalsh
-
-            return deflated_eigvalsh(gram, probs, backend=eig_backend)
+        if zeros is not None:
+            evals_d, _ = full_eigh(gram, backend=eig_backend,
+                                   eigenvectors=False)
+            return jnp.sort(jnp.concatenate([zeros, evals_d]))
         return full_eigh(gram, backend=eig_backend, eigenvectors=False)[0]
 
     with jax.default_matmul_precision(precision):
@@ -257,6 +278,7 @@ def eigvalsh_streamed(
                     paths=tuple(paths), subsampling=subsampling,
                     mc_samples=mc_samples, key=key,
                     precision=_PRECISIONS[gram_precision],
+                    deflate_ce_null=deflate_ce_null,
                 )
             )
             for paths in group_paths

@@ -143,12 +143,14 @@ def eigvalsh_dp(
     degeneracies, see the :mod:`vivit_tpu.eigdc` docstring); prefer
     ``eig_backend="xla"`` for sub-sampled DP spectra.
 
-    ``deflate_ce_null`` (exact CE only): each shard's softmax probabilities
-    are all-gathered (tiny, ``[k, S_local, C]``) and the replicated
-    eigenproblem shrinks to ``(C−1)·N`` via the DP-layout projection
-    (:func:`vivit_tpu.deflate.deflate_gram_sharded`) — the ``N`` structural
-    zeros are returned exactly.  This also removes the exact-zero block
-    that made ``eig_backend="dc"`` + ``subsampling`` a weak regime.
+    ``deflate_ce_null`` (exact CE only): each shard projects its factor
+    rows onto the CE null complement BEFORE the vjp
+    (:func:`vivit_tpu.ggn.ggn_sqrt_vt` factor-level deflation), so the
+    eigenproblem — and the ``all_to_all``/``psum`` Gram collectives —
+    shrink to ``(C−1)·N`` with NO extra communication (the projection is
+    shard-local); the ``N`` structural zeros are appended exactly.  This
+    also removes the exact-zero block that made ``eig_backend="dc"`` +
+    ``subsampling`` a weak regime.
     """
     from vivit_tpu.eig import full_eigh
 
@@ -169,20 +171,21 @@ def eigvalsh_dp(
                 model_fn, loss, params, X_l, y_l,
                 mc_samples=mc_samples, key=key,
                 column_scale=scale, sample_ids=ids,
+                deflate_ce_null=deflate_ce_null,
             )
             if mask is not None:
+                # sample masking commutes with the per-sample factor
+                # projection (both act within one sample's block)
                 vt = _mask_vt(vt, mask)
 
             if deflate_ce_null:
-                from vivit_tpu.deflate import deflated_eigvalsh_sharded
-
-                probs_l = jax.nn.softmax(model_fn(params, X_l), axis=-1)
-                probs_k = jax.lax.all_gather(probs_l, axis_name)
+                zeros = jnp.zeros((n_global,), jnp.float32)
 
                 def solve(gram):
-                    return deflated_eigvalsh_sharded(
-                        gram, probs_k, backend=eig_backend
+                    evals_d, _ = full_eigh(
+                        gram, backend=eig_backend, eigenvectors=False
                     )
+                    return jnp.sort(jnp.concatenate([zeros, evals_d]))
             else:
                 def solve(gram):
                     return full_eigh(
