@@ -22,8 +22,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--deflate", action="store_true",
+                    help="factor-level CE null deflation (the headline "
+                         "bench path): [(C-1)N]^2 Gram instead of [CN]^2")
     args = ap.parse_args()
-    out = args.out or f"/tmp/gram{args.batch * 10}.npy"
+    cols = args.batch * (9 if args.deflate else 10)
+    out = args.out or f"/tmp/gram{cols}.npy"
 
     import vivit_tpu as vt
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
@@ -41,7 +45,9 @@ def main():
     @jax.jit
     def gram_fn(v, X, y):
         with jax.default_matmul_precision("highest"):
-            vt_mixed = structured_ggn_sqrt_vt(module, v, loss, X, y)
+            vt_mixed = structured_ggn_sqrt_vt(
+                module, v, loss, X, y, deflate_ce_null=args.deflate
+            )
             return gram_matrix_mixed(
                 vt_mixed, generic_precision=_PRECISIONS["bf16"]
             )

@@ -47,6 +47,15 @@ CONFIGS = {
     "dm_ns=1": {"dm_ns": 1},
     "bottom=256": {"bottom": 256},
     "polish-lean": {"ns_global": 5, "dm_ns": 1},
+    # chain-path (n < strip) evals-mode DM ladder: can the second-order
+    # scalar mop-up retire the chain path's DM iterations the way it
+    # retired the strip path's (round-3d)?
+    "dm=(1,1,0)": {"dm_iters": (1, 1, 0)},
+    "dm=(1,1,0),ns5": {"dm_iters": (1, 1, 0), "ns_global": 5},
+    "dm=(0,0,0),ns5": {"dm_iters": (0, 0, 0), "ns_global": 5},
+    "dm=(0,0,0),ns4": {"dm_iters": (0, 0, 0), "ns_global": 4},
+    "dm=(0,0,0),ns4,dmns1": {"dm_iters": (0, 0, 0), "ns_global": 4,
+                             "dm_ns": 1},
 }
 
 
