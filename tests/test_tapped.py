@@ -1,0 +1,160 @@
+"""Tapped V-transform engine vs the generic vmap-of-vjp engine.
+
+The tapped engine (vivit_tpu/tapped.py) restructures the V-transform as one
+batched backward over output taps plus layer-local reconstructions (the
+reference's BackPACK architecture, vivit/extensions/secondorder/vivit/
+base.py:84-130, re-expressed as pure function transforms).  It is a pure
+performance fast path: every Gram it produces must match the generic engine
+to f32 contraction noise — well inside the reference eigenvalue parity bar
+(rtol=1e-4, test/linalg/test_eigvalsh.py:60).
+
+Coverage mirrors the reference fixture matrix (test/settings.py:28-181):
+conv, extra-dim Dense, branched graphs, BatchNorm(eval), ConvTranspose
+(fallback), weight sharing (fallback), subsampling, MC, MSE, sum reduction.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vivit_tpu as vt
+from vivit_tpu.models import (BranchedNet, ConvTransposeNet, KitchenSinkNet,
+                              SmallCNN)
+from vivit_tpu.structured import (DenseFactor, gram_matrix_mixed,
+                                  structured_ggn_sqrt_vt, v_mat_prod_mixed,
+                                  vt_mat_prod_mixed)
+from vivit_tpu.tapped import ConvVT
+from vivit_tpu.utils.tree import leaf_paths
+
+rng = np.random.default_rng(3)
+
+
+def _problem(module, shape, n=6, loss=None):
+    loss = loss or vt.CrossEntropyLoss("mean")
+    X = jnp.asarray(rng.normal(size=(n, *shape)), jnp.float32)
+    C = getattr(module, "num_classes", 3)
+    if isinstance(loss, vt.MSELoss):
+        y = jnp.asarray(rng.normal(size=(n, C)), jnp.float32)
+    else:
+        y = jnp.asarray(rng.integers(0, C, size=(n,)), jnp.int32)
+    variables = module.init(jax.random.PRNGKey(0), X[:1])
+    return variables, loss, X, y
+
+
+def _grams(module, variables, loss, X, y, **kw):
+    out = []
+    for engine in ("vjp", "tapped"):
+        mixed = structured_ggn_sqrt_vt(module, variables, loss, X, y,
+                                       engine=engine, **kw)
+        out.append(np.asarray(gram_matrix_mixed(mixed)))
+    return out
+
+
+CASES = [
+    ("conv", SmallCNN(), (8, 8, 2), {}),
+    ("kitchen-sink", KitchenSinkNet(), (6, 6, 2), {}),
+    ("convtranspose-fallback", ConvTransposeNet(), (4, 4, 2), {}),
+    ("branched", BranchedNet(), (5,), {}),
+    ("subsampling", SmallCNN(), (8, 8, 2), {"subsampling": [0, 2, 3]}),
+    ("mc", SmallCNN(), (8, 8, 2),
+     {"mc_samples": 3, "key": jax.random.PRNGKey(1)}),
+]
+
+
+@pytest.mark.parametrize("name,module,shape,kw", CASES,
+                         ids=[c[0] for c in CASES])
+def test_tapped_gram_matches_generic(name, module, shape, kw):
+    variables, loss, X, y = _problem(module, shape)
+    g_vjp, g_tap = _grams(module, variables, loss, X, y, **kw)
+    scale = np.abs(g_vjp).max()
+    assert np.allclose(g_tap, g_vjp, rtol=1e-5, atol=1e-5 * scale)
+
+
+@pytest.mark.parametrize("loss_kind", ["mse", "ce-sum"])
+def test_tapped_gram_other_losses(loss_kind):
+    loss = (vt.MSELoss("mean") if loss_kind == "mse"
+            else vt.CrossEntropyLoss("sum"))
+    module = SmallCNN(num_classes=2)
+    variables, loss, X, y = _problem(module, (8, 8, 2), loss=loss)
+    g_vjp, g_tap = _grams(module, variables, loss, X, y)
+    assert np.allclose(g_tap, g_vjp, rtol=1e-5,
+                       atol=1e-5 * np.abs(g_vjp).max())
+
+
+def test_tapped_deflated_gram_matches_generic():
+    module = SmallCNN()
+    variables, loss, X, y = _problem(module, (8, 8, 2))
+    g_vjp, g_tap = _grams(module, variables, loss, X, y,
+                          deflate_ce_null=True)
+    assert g_tap.shape[0] == 2 * 6  # (C-1)*S
+    assert np.allclose(g_tap, g_vjp, rtol=1e-5,
+                       atol=1e-5 * np.abs(g_vjp).max())
+
+
+def test_tapped_leaf_types_and_projections():
+    """Conv kernels become ConvVT, dense kernels DenseFactor; the V / Vᵀ
+    products must match the generic leaves (back-projection layout check:
+    the patch-native storage permutes back to flax [*k, I, O])."""
+    module = SmallCNN()
+    variables, loss, X, y = _problem(module, (8, 8, 2))
+    paths = tuple(leaf_paths(variables["params"]))
+    mixed_t = structured_ggn_sqrt_vt(module, variables, loss, X, y,
+                                     engine="tapped")
+    mixed_g = structured_ggn_sqrt_vt(module, variables, loss, X, y,
+                                     engine="vjp")
+    assert isinstance(mixed_t["Conv_0/kernel"], ConvVT)
+    assert isinstance(mixed_t["Dense_0/kernel"], DenseFactor)
+
+    cols = gram_matrix_mixed(mixed_g).shape[0]
+    vecs = jnp.asarray(rng.normal(size=(2, cols)), jnp.float32)
+    out_t = v_mat_prod_mixed(mixed_t, vecs, paths)
+    out_g = v_mat_prod_mixed(mixed_g, vecs, paths)
+    for a, b, p in zip(out_t, out_g, paths):
+        assert a.shape == b.shape, p
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                           atol=1e-5 * max(1e-30, np.abs(b).max())), p
+
+    mats = [jnp.asarray(rng.normal(size=(2, *variables["params"][p.split("/")[0]][p.split("/")[1]].shape)), jnp.float32)
+            for p in paths]
+    r_t = vt_mat_prod_mixed(mixed_t, mats, paths)
+    r_g = vt_mat_prod_mixed(mixed_g, mats, paths)
+    assert np.allclose(np.asarray(r_t), np.asarray(r_g), rtol=1e-5,
+                       atol=1e-5 * np.abs(np.asarray(r_g)).max())
+
+
+def test_weight_sharing_falls_back():
+    """A Dense applied twice must not be tapped (cotangent sums call sites)."""
+
+    class Shared(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            d = nn.Dense(5)
+            x = x.reshape(x.shape[0], -1)
+            x = jnp.tanh(d(x))
+            x = d(x)
+            return nn.Dense(3)(x)
+
+    module = Shared()
+    variables, loss, X, y = _problem(module, (5,))
+    g_vjp, g_tap = _grams(module, variables, loss, X, y)
+    assert np.allclose(g_tap, g_vjp, rtol=1e-5,
+                       atol=1e-5 * np.abs(g_vjp).max())
+    mixed = structured_ggn_sqrt_vt(module, variables, loss, X, y,
+                                   engine="tapped")
+    assert not isinstance(mixed["Dense_0/kernel"], DenseFactor)
+
+
+def test_conv_vt_dtype_demotion():
+    """bf16 conv-block storage stays inside the bf16-Gram parity envelope."""
+    module = SmallCNN()
+    variables, loss, X, y = _problem(module, (8, 8, 2))
+    g_f32, _ = _grams(module, variables, loss, X, y)
+    mixed = structured_ggn_sqrt_vt(module, variables, loss, X, y,
+                                   engine="tapped",
+                                   conv_vt_dtype=jnp.bfloat16)
+    assert mixed["Conv_0/kernel"].vt.dtype == jnp.bfloat16
+    g_bf16 = np.asarray(gram_matrix_mixed(mixed))
+    assert np.allclose(g_bf16, g_f32, rtol=2e-2,
+                       atol=2e-2 * np.abs(g_f32).max())

@@ -4,7 +4,8 @@ Produces the exact PSD matrix the headline benchmark eigendecomposes, so
 eigensolver profiling/tuning (tools/profile_eigdc.py --gram ...) runs on the
 real spectrum (5-decade skew, CE rank deficiency) rather than synthetics.
 
-Usage: ``python tools/dump_gram.py [--batch 128] [--out /tmp/gram1280.npy]``
+Usage: ``python tools/dump_gram.py [--batch 128] [--deflate]
+[--out /tmp/gram1280.npy]``
 """
 
 import argparse
@@ -26,7 +27,8 @@ def main():
                     help="factor-level CE null deflation (the headline "
                          "bench path): [(C-1)N]^2 Gram instead of [CN]^2")
     args = ap.parse_args()
-    cols = args.batch * (9 if args.deflate else 10)
+    C = 10  # CIFAR-10 classes: model width, label range, column math
+    cols = args.batch * (C - 1 if args.deflate else C)
     out = args.out or f"/tmp/gram{cols}.npy"
 
     import vivit_tpu as vt
@@ -34,12 +36,12 @@ def main():
     from vivit_tpu.models import CNN3c3d
     from vivit_tpu.structured import gram_matrix_mixed, structured_ggn_sqrt_vt
 
-    module = CNN3c3d(10)
+    module = CNN3c3d(C)
     variables = module.init(jax.random.PRNGKey(0),
                             jnp.ones((1, 32, 32, 3), jnp.float32))
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.normal(size=(args.batch, 32, 32, 3)), jnp.float32)
-    y = jnp.asarray(rng.integers(0, 10, size=(args.batch,)), jnp.int32)
+    y = jnp.asarray(rng.integers(0, C, size=(args.batch,)), jnp.int32)
     loss = vt.CrossEntropyLoss("mean")
 
     @jax.jit

@@ -1,0 +1,112 @@
+"""Stage-time attribution for the V-transform engines (vjp vs tapped).
+
+Times, on the current default JAX device (the TPU chip under the driver):
+
+  * ``vt``       — forward + V-transform alone (sum of every block as the
+    fetch barrier; Gram/eigh excluded),
+  * ``vt+gram``  — plus the mixed Gram contraction,
+  * ``headline`` — the full benchmark pipeline (Gram + deflation + dc eigh).
+
+for both engines, on the benchmark config (CIFAR-10 3c3d, N=128, exact CE,
+factor-level deflation, bf16 conv Gram).  Used to validate the round-4
+V-transform attack (VERDICT r3 next-#1); results recorded in
+docs/design.md round-4.
+
+Run from the repo root: ``python tools/profile_vt.py [--batch 128]``
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _amortized_ms(fn, args, reps=10, chain=8):
+    out = np.asarray(fn(*args))  # compile + fetch
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            r = fn(*args)
+        np.asarray(r)
+        ts.append((time.perf_counter() - t0) / chain)
+    return float(np.median(ts) * 1000)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--engines", default="vjp,tapped")
+    ap.add_argument("--deflate", action="store_true", default=True)
+    ap.add_argument("--conv-bf16", action="store_true",
+                    help="store tapped conv V blocks in bf16")
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import vivit_tpu as vt
+    from vivit_tpu.models import CNN3c3d
+    from vivit_tpu.structured import (eigvalsh_structured, gram_matrix_mixed,
+                                      structured_ggn_sqrt_vt)
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+    from vivit_tpu.tapped import ConvVT
+    from vivit_tpu.structured import DenseFactor
+
+    module = CNN3c3d(10)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.ones((1, 32, 32, 3), jnp.float32))
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(args.batch, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 10, size=(args.batch,)).astype(np.int32))
+    loss = vt.CrossEntropyLoss("mean")
+
+    def leaf_sum(leaf):
+        if isinstance(leaf, DenseFactor):
+            return jnp.sum(leaf.delta) + jnp.sum(leaf.z)
+        if isinstance(leaf, ConvVT):
+            return jnp.sum(leaf.vt.astype(jnp.float32))
+        return jnp.sum(leaf)
+
+    for engine in args.engines.split(","):
+        kw = dict(engine=engine)
+        if engine == "tapped" and args.conv_bf16:
+            kw["conv_vt_dtype"] = jnp.bfloat16
+
+        def vt_only(v, X, y):
+            with jax.default_matmul_precision("highest"):
+                mixed = structured_ggn_sqrt_vt(
+                    module, v, loss, X, y,
+                    deflate_ce_null=args.deflate, **kw)
+                return sum(leaf_sum(l) for l in mixed.values())
+
+        def vt_gram(v, X, y):
+            with jax.default_matmul_precision("highest"):
+                mixed = structured_ggn_sqrt_vt(
+                    module, v, loss, X, y,
+                    deflate_ce_null=args.deflate, **kw)
+                return jnp.sum(gram_matrix_mixed(
+                    mixed, generic_precision=_PRECISIONS["bf16"]))
+
+        def headline(v, X, y):
+            return eigvalsh_structured(
+                module, v, loss, X, y,
+                precision="highest", gram_precision="bf16", eig_backend="dc",
+                deflate_ce_null=args.deflate, **kw)[0]
+
+        for name, fn in [("vt", vt_only), ("vt+gram", vt_gram),
+                         ("headline", headline)]:
+            ms = _amortized_ms(jax.jit(fn), (variables, X, y), args.reps)
+            print(f"{engine:7s} {name:9s} {ms:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

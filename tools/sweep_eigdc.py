@@ -49,13 +49,23 @@ CONFIGS = {
     "polish-lean": {"ns_global": 5, "dm_ns": 1},
     # chain-path (n < strip) evals-mode DM ladder: can the second-order
     # scalar mop-up retire the chain path's DM iterations the way it
-    # retired the strip path's (round-3d)?
+    # retired the strip path's (round-3d)?  NOTE: under --vectors these
+    # configs answer a DIFFERENT question — eigh_dc skips the scalar
+    # mop-up in eigenvector mode (it cannot move the vectors), so
+    # vector-mode timings/accuracy here lack the mop-up and will likely
+    # show violations; read only the eigenvalue-mode rows for the ladder.
     "dm=(1,1,0)": {"dm_iters": (1, 1, 0)},
     "dm=(1,1,0),ns5": {"dm_iters": (1, 1, 0), "ns_global": 5},
     "dm=(0,0,0),ns5": {"dm_iters": (0, 0, 0), "ns_global": 5},
     "dm=(0,0,0),ns4": {"dm_iters": (0, 0, 0), "ns_global": 4},
     "dm=(0,0,0),ns4,dmns1": {"dm_iters": (0, 0, 0), "ns_global": 4,
                              "dm_ns": 1},
+    # force the strip root below its default 1536 threshold: at the
+    # headline's deflated 1152 the strip basis replaces the sequential
+    # zoom chain — the round-4 eigh attack candidates
+    "strip@n": {"strip": 1024},
+    "strip@n,ns5": {"strip": 1024, "ns_global": 5},
+    "strip@n,base256": {"strip": 1024, "base": 256},
 }
 
 
@@ -66,8 +76,14 @@ def main():
     ap.add_argument("--vectors", action="store_true",
                     help="also time/check eigenvector mode")
     ap.add_argument("--configs", type=str, default=None,
-                    help="comma-separated subset of config names")
+                    help="semicolon-separated subset of config names "
+                         "(names contain commas)")
     args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from vivit_tpu.eigdc import eigh_dc, eigvalsh_dc
 
@@ -80,7 +96,7 @@ def main():
     tol = ATOL * max(1.0, lmax) + RTOL * np.abs(ref)
     print(f"{'xla_eigvalsh':24s} {t_xla:8.2f} ms")
 
-    names = list(CONFIGS) if args.configs is None else args.configs.split(",")
+    names = list(CONFIGS) if args.configs is None else args.configs.split(";")
     for name in names:
         kw = CONFIGS[name]
         fn = jax.jit(lambda M, kw=kw: eigvalsh_dc(M, guard=None, **kw))

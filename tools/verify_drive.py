@@ -1,0 +1,199 @@
+"""End-to-end verify drive (the /verify recipe, scripted).
+
+Stages (run from the repo root):
+
+* ``--stage cpu``      — CPU parity drive: explicit-GGN oracle vs all four
+  Computation classes on a tiny MLP + error-path probes through the public
+  API.  Forces the CPU platform (the sandbox pins the axon TPU otherwise).
+* ``--stage tpu``      — real-TPU drive: EigvalshComputation + fused jitted
+  ``newton_step_topk`` twice (compile, then cached); asserts the cached call
+  is finite and fast.
+* ``--stage multichip``— ``__graft_entry__.dryrun_multichip(8)`` on an
+  8-device virtual CPU mesh (the driver's environment).
+
+``python tools/verify_drive.py --stage cpu && --stage multichip`` run in one
+interpreter is not possible (platform is fixed at first backend init), so
+run each stage as its own process; see the skill at
+``.claude/skills/verify/SKILL.md``.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def stage_cpu():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import numpy as np
+
+    import vivit_tpu as vt
+    from vivit_tpu.models import MLP
+    from vivit_tpu.utils.tree import leaf_paths, num_params, ravel_batched
+
+    module = MLP(features=(8, 4))
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(7, 6)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, size=(7,)), jnp.int32)
+    variables = module.init(jax.random.PRNGKey(0), X[:1])
+    params = variables["params"]
+    loss = vt.CrossEntropyLoss("mean")
+    model_fn = lambda p, x: module.apply({"params": p}, x)
+    paths = tuple(leaf_paths(params))
+    D = num_params(params)
+
+    # explicit GGN oracle: G = J^T H J (mean reduction)
+    J = jax.jacobian(lambda p: model_fn(p, X))(params)  # leaves [N, C, *shape]
+    Jmat = ravel_batched(J, num_leading=2)  # [N*C, D]
+    N, C = X.shape[0], 4
+    Jmat = Jmat.reshape(N, C, D)
+    f = model_fn(params, X)
+    H = jax.vmap(jax.hessian(lambda fn, yn: loss.per_sample(fn[None], yn[None])[0]))(
+        f, y
+    )  # [N, C, C]
+    G = jnp.einsum("ncd,nce,neg->dg", Jmat, H, Jmat) / N
+    evals_oracle = np.linalg.eigvalsh(np.asarray(G))
+
+    # 1) EigvalshComputation
+    comp = vt.EigvalshComputation(model_fn, loss)
+    (evals,) = comp.compute(params, X, y)
+    top = min(len(evals), D)
+    got, want = np.asarray(evals)[-top:], evals_oracle[-top:]
+    assert np.allclose(got, want, rtol=1e-4, atol=5e-6), (got - want)
+    # reference-style result access
+    groups = [{"params": list(paths)}]
+    comp.compute(params, X, y, param_groups=groups)
+    _ = comp.get_result(groups[0])
+    print("eigvalsh parity OK", flush=True)
+
+    # 2) EighComputation: G e = λ e property
+    crit = lambda ev: np.where(ev > 1e-5)[0][-3:]
+    comp_e = vt.EighComputation(model_fn, loss)
+    groups_e = [{"params": list(paths), "criterion": crit}]
+    ((evals_e, evecs_e),) = comp_e.compute(params, X, y, groups_e)
+    emat = np.concatenate(
+        [np.asarray(l).reshape(len(evals_e), -1) for l in evecs_e], axis=1
+    )
+    Ge = np.asarray(G) @ emat.T
+    assert np.allclose(Ge, emat.T * np.asarray(evals_e)[None, :],
+                       rtol=5e-4, atol=1e-5)
+    print("eigh property OK", flush=True)
+
+    # 3) Directional derivatives: gamma_nk = g_n . e_k, lambda_nk = e_k G_n e_k
+    comp_d = vt.DirectionalDerivativesComputation(model_fn, loss)
+    ((gammas, lambdas),) = comp_d.compute(params, X, y, groups_e)
+    g_per = vt.batch_grad(model_fn, loss, params, X, y)
+    gmat = ravel_batched(g_per, num_leading=1) * N  # [N, D]
+    gam_oracle = np.asarray(gmat) @ emat.T
+    assert np.allclose(np.asarray(gammas), gam_oracle, rtol=1e-5, atol=1e-4)
+    Gn = np.einsum("ncd,nce,neg->ndg", np.asarray(Jmat), np.asarray(H),
+                   np.asarray(Jmat))
+    lam_oracle = np.einsum("kd,ndg,kg->nk", emat, Gn, emat)
+    assert np.allclose(np.asarray(lambdas), lam_oracle, rtol=1e-5, atol=1e-5)
+    print("gamma/lambda parity OK", flush=True)
+
+    # 4) Damped Newton step: s = sum_k -mean(gamma_k)/(mean(lambda_k)+delta) e_k
+    comp_n = vt.DirectionalDampedNewtonComputation(model_fn, loss)
+    groups_n = [{"params": list(paths), "criterion": crit,
+                 "damping": lambda ev, evec, ga, la: np.ones(len(ev))}]
+    (step,) = comp_n.compute(params, X, y, groups_n)
+    coeff = -gam_oracle.mean(0) / (lam_oracle.mean(0) + 1.0)
+    step_oracle = emat.T @ coeff
+    step_flat = np.concatenate([np.asarray(l).ravel() for l in step])
+    assert np.allclose(step_flat, step_oracle, rtol=1e-5, atol=1e-5)
+    print("newton parity OK", flush=True)
+
+    # 5) error paths
+    def expect(exc, fn):
+        try:
+            fn()
+        except exc:
+            return
+        raise AssertionError(f"expected {exc.__name__}")
+
+    expect(ValueError, lambda: vt.EigvalshComputation(
+        model_fn, loss, subsampling=[1, 1]))
+    expect(ValueError, lambda: comp.compute(
+        params, X, y, [{"params": ["nope/kernel"]}]))
+    expect(ValueError, lambda: comp_e.compute(
+        params, X, y, [{"params": list(paths)}]))  # missing criterion
+    expect(ValueError, lambda: comp_n.compute(
+        params, X, y, [{"params": list(paths), "criterion": crit}]))
+    expect(ValueError, lambda: comp.compute(
+        params, X, y,
+        [{"params": [paths[0]]}, {"params": [paths[0]]}]))  # duplicate
+    expect(KeyError, lambda: vt.EigvalshComputation(
+        model_fn, loss).get_result({"params": list(paths)}))
+    print("error paths OK", flush=True)
+
+
+def stage_tpu():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    import vivit_tpu as vt
+    from vivit_tpu.models import CNN3c3d
+    from vivit_tpu.structured import newton_step_structured
+
+    print("devices:", jax.devices(), flush=True)
+    module = CNN3c3d(10)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.ones((1, 32, 32, 3), jnp.float32))
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(32, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, size=(32,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+    model_fn = lambda p, x: module.apply({"params": p}, x)
+
+    comp = vt.EigvalshComputation(model_fn, loss)
+    (evals,) = comp.compute(variables["params"], X, y)
+    evals = np.asarray(evals)
+    assert np.isfinite(evals).all() and evals[-1] > 0
+    t0 = time.perf_counter()
+    comp.compute(variables["params"], X, y)
+    print(f"eigvalsh cached: {(time.perf_counter() - t0) * 1e3:.1f} ms, "
+          f"top eval {evals[-1]:.4g}", flush=True)
+
+    newton = jax.jit(
+        lambda v, X, y: newton_step_structured(
+            module, v, loss, X, y, k=5, damping=1.0,
+            precision="highest", gram_precision="bf16")
+    )
+    step = newton(variables, X, y)
+    t0 = time.perf_counter()
+    step = newton(variables, X, y)
+    flat = np.concatenate([np.asarray(l).ravel() for l in step])
+    dt = (time.perf_counter() - t0) * 1e3
+    assert np.isfinite(flat).all()
+    print(f"newton cached: {dt:.1f} ms, |step|_1 {np.abs(flat).sum():.4g}",
+          flush=True)
+
+
+def stage_multichip():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=["cpu", "tpu", "multichip"],
+                    required=True)
+    args = ap.parse_args()
+    {"cpu": stage_cpu, "tpu": stage_tpu,
+     "multichip": stage_multichip}[args.stage]()
+    print(f"stage {args.stage}: PASS", flush=True)

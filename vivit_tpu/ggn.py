@@ -74,6 +74,43 @@ def loss_hessian_sqrt(
     )
 
 
+def v_factors(
+    loss: Loss,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    batch_size: int,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    sample_ids: Optional[jnp.ndarray] = None,
+    column_scale: Optional[jnp.ndarray] = None,
+    deflate_ce_null: bool = False,
+) -> jnp.ndarray:
+    """Scaled (optionally CE-deflated) loss factors ``[S, CF', C]``.
+
+    The shared front half of every V-transform engine: per-sample loss-Hessian
+    square roots, the column scale ``√(ρ(N)·N/S)`` folded in, and — for exact
+    CE — the analytic factor-level null deflation (``CF' = CF−1``,
+    :mod:`vivit_tpu.deflate`).  ``f`` are the (sub-sampled) model outputs.
+    """
+    S = f.shape[0]
+    factors = loss_hessian_sqrt(
+        loss, f, y, mc_samples=mc_samples, key=key, sample_ids=sample_ids
+    )  # [S, CF, C]
+    if column_scale is None:
+        column_scale = jnp.sqrt(jnp.asarray(loss.rho(batch_size) * batch_size / S))
+    factors = factors * jnp.asarray(column_scale, dtype=factors.dtype)
+    if deflate_ce_null:
+        from vivit_tpu.deflate import ce_null_complement
+
+        w = ce_null_complement(jax.nn.softmax(f, axis=-1))  # [S, C, C-1]
+        factors = jnp.einsum(
+            "sca,sck->sak", w, factors,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [S, CF-1, C]
+    return factors
+
+
 def ggn_sqrt_vt(
     model_fn: ModelFn,
     loss: Loss,
@@ -141,24 +178,14 @@ def ggn_sqrt_vt(
             else jnp.arange(X.shape[0])
         )
     Xs, ys = _subsample(X, y, subsampling)
-    S = Xs.shape[0]
 
     with jax.named_scope("vivit/loss_hessian_sqrt"):
         f = model_fn(params, Xs)
-        factors = loss_hessian_sqrt(
-            loss, f, ys, mc_samples=mc_samples, key=key, sample_ids=sample_ids
-        )  # [S, CF, C]
-        if column_scale is None:
-            column_scale = jnp.sqrt(jnp.asarray(loss.rho(N) * N / S))
-        factors = factors * jnp.asarray(column_scale, dtype=factors.dtype)
-        if deflate_ce_null:
-            from vivit_tpu.deflate import ce_null_complement
-
-            w = ce_null_complement(jax.nn.softmax(f, axis=-1))  # [S, C, C-1]
-            factors = jnp.einsum(
-                "sca,sck->sak", w, factors,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [S, CF-1, C]
+        factors = v_factors(
+            loss, f, ys, batch_size=N, mc_samples=mc_samples, key=key,
+            sample_ids=sample_ids, column_scale=column_scale,
+            deflate_ce_null=deflate_ce_null,
+        )  # [S, CF', C]
 
     def vt_column(x_n, s_row):
         """One V column: J_nᵀ s — vjp of the single-sample forward."""

@@ -256,6 +256,7 @@ def eigvalsh_dp_structured(
             vt = structured_ggn_sqrt_vt(
                 module, variables, loss, X_l, y_l,
                 mc_samples=mc_samples, key=key, sample_ids=ids,
+                engine="vjp",  # DP Gram/scale plumbing predates ConvVT
             )
             # structured_ggn_sqrt_vt used the *local* scale √(1/n_local);
             # rescale columns to the global √ρ(n_global) convention
@@ -746,6 +747,7 @@ def newton_step_dp_structured(
             vt = structured_ggn_sqrt_vt(
                 module, variables, loss, X_l, y_l,
                 mc_samples=mc_samples, key=key, sample_ids=ids,
+                engine="vjp",  # DP Gram/scale plumbing predates ConvVT
             )
             # local √(1/n_local) column scale → global √ρ(n_global)
             rescale = jnp.sqrt(

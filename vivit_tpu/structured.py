@@ -133,17 +133,38 @@ def structured_ggn_sqrt_vt(
     batch_size: Optional[int] = None,
     sample_ids: Optional[jnp.ndarray] = None,
     deflate_ce_null: bool = False,
+    engine: str = "tapped",
+    conv_vt_dtype: Optional[Any] = None,
 ) -> Dict[str, Any]:
     """Mixed ``Vᵀ``: generic array leaves + :class:`DenseFactor` kernels.
 
     Dense kernels (2-D input, bias present) are never materialized; their
     blocks are represented by ``(z, δ)`` factors.  All other leaves follow the
-    generic engine.  Returns ``{path: array | DenseFactor}``.
+    selected engine.  Returns ``{path: array | DenseFactor | ConvVT}``.
+
+    ``engine="tapped"`` (default) computes all per-sample cotangents in one
+    batched backward and reconstructs conv-kernel blocks as patch matmuls
+    (:mod:`vivit_tpu.tapped` — ~3× faster V-transform on conv nets);
+    ``engine="vjp"`` is the original vmap-of-vjp generic engine (any
+    differentiable model, used as the parity oracle).  ``conv_vt_dtype``
+    (tapped only) stores materialized conv blocks demoted, e.g.
+    ``jnp.bfloat16`` for the bf16-Gram benchmark pipeline.
 
     ``sample_ids`` are the global sample indices folded into the MC PRNG key
     (layout invariance across device meshes) — forwarded to
     :func:`vivit_tpu.ggn.ggn_sqrt_vt`.
     """
+    if engine == "tapped":
+        from vivit_tpu.tapped import tapped_ggn_sqrt_vt
+
+        return tapped_ggn_sqrt_vt(
+            module, variables, loss, X, y,
+            subsampling=subsampling, mc_samples=mc_samples, key=key,
+            batch_size=batch_size, sample_ids=sample_ids,
+            deflate_ce_null=deflate_ce_null, conv_vt_dtype=conv_vt_dtype,
+        )
+    if engine != "vjp":
+        raise ValueError(f"Unknown engine {engine!r} (use 'tapped' or 'vjp').")
     check_subsampling_unique(subsampling)
     params = variables["params"]
     consts = {k: v for k, v in variables.items() if k != "params"}
@@ -206,6 +227,8 @@ def gram_matrix_mixed(
     contractions; the factored Dense Grams are tiny and always run at the
     ambient precision (full f32 in the default pipeline).
     """
+    from vivit_tpu.tapped import ConvVT
+
     if paths is None:
         paths = list(vt_mixed.keys())
     total = None
@@ -213,6 +236,8 @@ def gram_matrix_mixed(
         leaf = vt_mixed[p]
         if isinstance(leaf, DenseFactor):
             g = leaf.gram()
+        elif isinstance(leaf, ConvVT):
+            g = leaf.gram(precision=generic_precision)
         else:
             cf, s = leaf.shape[:2]
             flat = jnp.reshape(leaf, (cf * s, -1))
@@ -228,12 +253,14 @@ def v_mat_prod_mixed(
     paths: Sequence[str],
 ) -> List[jnp.ndarray]:
     """Back-projection over a mixed ``Vᵀ`` dict → leaves ``[K, *shape]``."""
+    from vivit_tpu.tapped import ConvVT
+
     k = gram_vecs.shape[0]
     gv = jnp.reshape(gram_vecs, (k, -1))
     out = []
     for p in paths:
         leaf = vt_mixed[p]
-        if isinstance(leaf, DenseFactor):
+        if isinstance(leaf, (DenseFactor, ConvVT)):
             out.append(leaf.v_mat_prod(gv))
         else:
             cf, s = leaf.shape[:2]
@@ -248,10 +275,12 @@ def vt_mat_prod_mixed(
     paths: Sequence[str],
 ) -> jnp.ndarray:
     """``Vᵀ @ m`` over a mixed dict; ``mat_leaves[i]`` is ``[K, *shape_i]``."""
+    from vivit_tpu.tapped import ConvVT
+
     total = None
     for p, m in zip(paths, mat_leaves):
         leaf = vt_mixed[p]
-        if isinstance(leaf, DenseFactor):
+        if isinstance(leaf, (DenseFactor, ConvVT)):
             r = leaf.vt_mat_prod(m)
         else:
             cf, s = leaf.shape[:2]
@@ -279,6 +308,8 @@ def newton_step_structured(
     solver: str = "eigh",
     lobpcg_iters: int = 100,
     deflate_ce_null: bool = False,
+    engine: str = "tapped",
+    conv_vt_dtype: Optional[Any] = None,
 ) -> List[jnp.ndarray]:
     """Damped Newton step with the Dense fast path (jittable, flax models).
 
@@ -313,6 +344,7 @@ def newton_step_structured(
         vt = structured_ggn_sqrt_vt(
             module, variables, loss, X, y,
             subsampling=subsampling_ggn, mc_samples=mc_samples_ggn, key=key,
+            engine=engine, conv_vt_dtype=conv_vt_dtype,
         )
         gram = gram_matrix_mixed(
             vt, paths, generic_precision=_PRECISIONS[gram_precision]
@@ -368,6 +400,8 @@ def eigvalsh_structured(
     gram_precision: Optional[str] = None,
     eig_backend: str = "xla",
     deflate_ce_null: bool = False,
+    engine: str = "tapped",
+    conv_vt_dtype: Optional[Any] = None,
 ):
     """GGN eigenvalues with the Dense fast path (jittable, flax models).
 
@@ -401,6 +435,7 @@ def eigvalsh_structured(
             module, variables, loss, X, y,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
             deflate_ce_null=deflate_ce_null,
+            engine=engine, conv_vt_dtype=conv_vt_dtype,
         )
         if group_paths is None:
             group_paths = (tuple(leaf_paths(variables["params"])),)

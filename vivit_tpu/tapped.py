@@ -1,0 +1,382 @@
+"""Tapped V-transform engine: one batched backward, layer-local kernel grads.
+
+The generic engine (:func:`vivit_tpu.ggn.ggn_sqrt_vt`) computes ``Vᵀ`` as a
+``vmap``-of-``vmap``-of-``vjp`` over (factor, sample) of a *single-sample*
+model.  XLA batches the per-layer kernel-gradient convolutions of that
+backward into grouped convolutions with ``CF·S`` tiny groups — measured at
+3.1× their bandwidth roofline on the benchmark (docs/design.md, round-3
+roofline table): the MXU cannot tile thousands of independent
+75-element contractions.
+
+This engine restructures the same computation the way the reference's
+BackPACK substrate does architecturally (per-layer ``param_mjp`` from
+backpropagated factors, reference
+vivit/extensions/secondorder/vivit/base.py:84-130) but expressed as pure JAX
+function transforms:
+
+1. **Taps**: each supported layer's output gets a zero-valued additive input
+   ``tap``.  One ``jax.vjp`` w.r.t. the taps of the *batched* forward yields
+   the per-sample output cotangents ``δ [S, *out]`` — no batch-axis sum,
+   because the taps carry the batch axis.  Only the small factor axis
+   (``CF ≤ C``) is ``vmap``-ed.
+2. **Layer-local reconstruction**: every parameter's ``Vᵀ`` block is a local
+   function of (layer input ``z``, output cotangent ``δ``):
+
+   * Dense kernel   → Kronecker factors ``(z, δ)`` (never materialized,
+     :class:`vivit_tpu.structured.DenseFactor`),
+   * Dense bias     → ``δ`` itself,
+   * Conv kernel    → one batched patch×cotangent matmul per layer
+     (``einsum("npk,cnpo->cnko")`` — an MXU-native dense contraction
+     replacing XLA's grouped-conv kernel vjp),
+   * Conv bias      → ``δ`` summed over spatial positions.
+
+   Parameters outside this table (weight-shared layers, grouped convs,
+   ConvTranspose, custom modules) fall back to the generic engine — the
+   result is exact either way; the table is purely a performance fast path.
+
+Measured on the benchmark headline (CIFAR-10 3c3d, N=128): the V-transform
+stage drops from 21.9 ms (3.1× its bandwidth bound) to ~the Gram stage's
+roofline regime — see docs/design.md round-4.
+"""
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from vivit_tpu.ggn import ggn_sqrt_vt, v_factors
+from vivit_tpu.losses import Loss
+from vivit_tpu.utils.checks import check_subsampling_unique
+
+
+def _tup(v, nd: int, default: int = 1) -> Tuple[int, ...]:
+    if v is None:
+        v = default
+    if isinstance(v, int):
+        return (v,) * nd
+    return tuple(v)
+
+
+def _norm_padding(padding, nd: int):
+    """flax Conv padding → lax patches padding (or None if unsupported)."""
+    if isinstance(padding, str):
+        return padding if padding in ("SAME", "VALID") else None
+    if isinstance(padding, int):
+        return ((padding, padding),) * nd
+    out = []
+    for p in padding:
+        if isinstance(p, int):
+            out.append((p, p))
+        else:
+            lo, hi = p
+            out.append((int(lo), int(hi)))
+    return tuple(out) if len(out) == nd else None
+
+
+class ConvVT:
+    """Materialized conv-kernel ``Vᵀ`` block in patch-native layout.
+
+    ``vt``: ``[CF, S, I, *k, O]`` — the channel-major feature order
+    ``(I, kh, kw)`` that :func:`lax.conv_general_dilated_patches` produces,
+    kept to avoid transposing the (hundreds-of-MB) block; the
+    parameter-facing methods permute only the *small* side
+    (``K``-stacked vectors) into the flax ``[*k, I, O]`` kernel layout.
+    Duck-types :class:`vivit_tpu.structured.DenseFactor`.
+    """
+
+    def __init__(self, vt: jnp.ndarray, kernel_shape: Tuple[int, ...]):
+        self.vt = vt
+        self.kernel_shape = tuple(kernel_shape)  # [*k, I, O]
+        nd = len(kernel_shape) - 2
+        # vt trailing axes are [I, *k, O]; kernel axes are [*k, I, O]
+        self._to_kernel = tuple(range(1, 1 + nd)) + (0, 1 + nd)
+        self._from_kernel = (nd,) + tuple(range(nd)) + (nd + 1,)
+
+    def tree_flatten(self):
+        return (self.vt,), self.kernel_shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+    @property
+    def num_cols(self) -> int:
+        cf, s = self.vt.shape[:2]
+        return cf * s
+
+    def _flat(self) -> jnp.ndarray:
+        cf, s = self.vt.shape[:2]
+        return jnp.reshape(self.vt, (cf * s, -1))
+
+    def gram(self, precision=None) -> jnp.ndarray:
+        flat = self._flat()
+        return jnp.dot(flat, flat.T, preferred_element_type=jnp.float32,
+                       precision=precision)
+
+    def v_mat_prod(self, gram_vecs: jnp.ndarray) -> jnp.ndarray:
+        """``V @ ẽ`` for ``[K, CF·S]`` → ``[K, *kernel_shape]``."""
+        k = gram_vecs.shape[0]
+        native = jnp.reshape(gram_vecs @ self._flat(), (k, *self.vt.shape[2:]))
+        return jnp.transpose(native, (0,) + tuple(a + 1 for a in self._to_kernel))
+
+    def vt_mat_prod(self, mat: jnp.ndarray) -> jnp.ndarray:
+        """``Vᵀ @ m`` for ``[K, *kernel_shape]`` → ``[CF·S, K]``."""
+        native = jnp.transpose(
+            mat, (0,) + tuple(a + 1 for a in self._from_kernel)
+        )
+        return self._flat() @ jnp.reshape(native, (mat.shape[0], -1)).T
+
+
+jax.tree_util.register_pytree_node(
+    ConvVT, lambda c: c.tree_flatten(), ConvVT.tree_unflatten
+)
+
+
+def _conv_supported(m: nn.Conv, nd: int) -> bool:
+    """Whether a flax Conv layer is inside the fast path (no grouped conv,
+    no circular padding, no kernel mask, ≤3 spatial dims)."""
+    if getattr(m, "feature_group_count", 1) != 1:
+        return False
+    if getattr(m, "mask", None) is not None:
+        return False
+    if _norm_padding(m.padding, nd) is None:
+        return False
+    return 1 <= nd <= 3
+
+
+def _conv_patches(z: jnp.ndarray, m: nn.Conv) -> jnp.ndarray:
+    """Input patches ``[S, P, K]`` (K channel-major) for a flax Conv layer."""
+    nd = z.ndim - 2
+    ksize = _tup(m.kernel_size, nd)
+    padding = _norm_padding(m.padding, nd)
+    sp = "DHW"[3 - nd:]
+    spec = "N" + sp + "C"
+    k_in = z.shape[-1]
+    dn = lax.conv_dimension_numbers(
+        z.shape, (*ksize, k_in, k_in * int(np.prod(ksize))),
+        (spec, sp + "IO", spec),
+    )
+    patches = lax.conv_general_dilated_patches(
+        z, ksize, _tup(m.strides, nd), padding,
+        lhs_dilation=_tup(m.input_dilation, nd),
+        rhs_dilation=_tup(m.kernel_dilation, nd),
+        dimension_numbers=dn,
+    )  # [S, *out_spatial, K]
+    return jnp.reshape(patches, (z.shape[0], -1, patches.shape[-1]))
+
+
+def _capture_layers(module: nn.Module, variables: Any, X: jnp.ndarray):
+    """One forward recording every Dense/Conv call: name → (input, module).
+
+    ``repeated`` collects layers applied more than once (weight sharing) —
+    their tap cotangent would sum over call sites while the captured input
+    covers only the last one, so they are excluded from the fast path
+    (same policy as the structured Dense factorization).
+    """
+    captured: Dict[str, Tuple[jnp.ndarray, nn.Module]] = {}
+    repeated: set = set()
+
+    def interceptor(next_fn, args, kwargs, context):
+        if context.method_name == "__call__" and type(context.module) in (
+            nn.Dense, nn.Conv,
+        ):
+            name = "/".join(str(p) for p in context.module.path)
+            if name in captured:
+                repeated.add(name)
+            captured[name] = (args[0], context.module)
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        out = module.apply(variables, X)
+    return out, captured, repeated
+
+
+def tapped_ggn_sqrt_vt(
+    module: nn.Module,
+    variables: Any,
+    loss: Loss,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    subsampling: Optional[Sequence[int]] = None,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    batch_size: Optional[int] = None,
+    sample_ids: Optional[jnp.ndarray] = None,
+    deflate_ce_null: bool = False,
+    column_scale: Optional[jnp.ndarray] = None,
+    conv_vt_dtype: Optional[jnp.dtype] = None,
+) -> Dict[str, Any]:
+    """Mixed ``Vᵀ`` dict via the tapped engine (module docstring).
+
+    Same contract as :func:`vivit_tpu.structured.structured_ggn_sqrt_vt`:
+    ``{path: array | DenseFactor | ConvVT}`` with leading ``[CF, S]`` axes
+    per generic leaf.  ``conv_vt_dtype`` optionally stores the materialized
+    conv-kernel blocks demoted (e.g. ``jnp.bfloat16``) — the blocks feed
+    bf16 Gram contractions in the benchmark pipeline anyway, and storing
+    them demoted halves their HBM traffic.
+    """
+    check_subsampling_unique(subsampling)
+    from vivit_tpu.structured import DenseFactor
+
+    params = variables["params"]
+    consts = {k: v for k, v in variables.items() if k != "params"}
+    N = batch_size if batch_size is not None else X.shape[0]
+    if sample_ids is None:
+        sample_ids = (
+            jnp.asarray(subsampling)
+            if subsampling is not None
+            else jnp.arange(X.shape[0])
+        )
+    idx = None if subsampling is None else jnp.asarray(subsampling)
+    Xs = X if idx is None else jnp.take(X, idx, axis=0)
+    ys = y if idx is None else jnp.take(y, idx, axis=0)
+
+    # discovery pass: layer set, output shapes, weight sharing (traced; XLA
+    # CSEs it with the tapped forward below)
+    out0, captured, repeated = _capture_layers(
+        module, {"params": params, **consts}, Xs
+    )
+
+    from vivit_tpu.utils.tree import flatten_with_paths, leaf_paths
+
+    flat_params = dict(flatten_with_paths(params))
+
+    # fast-path table: name → ("dense"|"conv", z, module)
+    tapped: Dict[str, Tuple[str, jnp.ndarray, nn.Module]] = {}
+    fast_leaves: set = set()
+    for name, (z, m) in captured.items():
+        if name in repeated or f"{name}/kernel" not in flat_params:
+            continue
+        if type(m) is nn.Dense:
+            kind = "dense"
+        else:
+            if not _conv_supported(m, z.ndim - 2):
+                continue
+            kind = "conv"
+        tapped[name] = (kind, z, m)
+        fast_leaves.add(f"{name}/kernel")
+        if f"{name}/bias" in flat_params:
+            fast_leaves.add(f"{name}/bias")
+
+    # tapped forward: vjp w.r.t. the zero taps gives per-sample output
+    # cotangents in ONE batched backward.  Tap shapes = per-layer output
+    # shapes, derived abstractly (no FLOPs).
+    zero_taps = {}
+    for name, (kind, z, m) in tapped.items():
+        kernel = flat_params[f"{name}/kernel"]
+        if kind == "dense":
+            oshape = (*z.shape[:-1], kernel.shape[-1])
+        else:
+            nd = z.ndim - 2
+            probe = jax.eval_shape(
+                lambda zz, kk: lax.conv_general_dilated(
+                    zz, kk, _tup(m.strides, nd),
+                    _norm_padding(m.padding, nd),
+                    lhs_dilation=_tup(m.input_dilation, nd),
+                    rhs_dilation=_tup(m.kernel_dilation, nd),
+                    dimension_numbers=lax.conv_dimension_numbers(
+                        zz.shape, kk.shape,
+                        ("N" + "DHW"[3 - nd:] + "C",
+                         "DHW"[3 - nd:] + "IO",
+                         "N" + "DHW"[3 - nd:] + "C"),
+                    ),
+                ),
+                z, kernel,
+            )
+            oshape = probe.shape
+        zero_taps[name] = jnp.zeros(oshape, jnp.float32)
+
+    def tapped_forward(taps):
+        zs: Dict[str, jnp.ndarray] = {}
+
+        def interceptor(next_fn, args, kwargs, context):
+            out = next_fn(*args, **kwargs)
+            if context.method_name == "__call__":
+                name = "/".join(str(p) for p in context.module.path)
+                if name in taps:
+                    zs[name] = args[0]
+                    out = out + taps[name]
+            return out
+
+        with nn.intercept_methods(interceptor):
+            f = module.apply({"params": params, **consts}, Xs)
+        return f, zs
+
+    with jax.named_scope("vivit/tapped_forward"):
+        f, vjp_fn, zs = jax.vjp(tapped_forward, zero_taps, has_aux=True)
+
+    with jax.named_scope("vivit/loss_hessian_sqrt"):
+        factors = v_factors(
+            loss, f, ys, batch_size=N, mc_samples=mc_samples, key=key,
+            sample_ids=sample_ids, column_scale=column_scale,
+            deflate_ce_null=deflate_ce_null,
+        )  # [S, CF', C]
+    cots = jnp.transpose(factors, (1, 0, 2))  # [CF', S, C]
+
+    with jax.named_scope("vivit/tapped_backward"):
+        (deltas,) = jax.vmap(vjp_fn)(cots)  # {name: [CF', S, *out]}
+
+    mixed: Dict[str, Any] = {}
+    with jax.named_scope("vivit/tapped_reconstruct"):
+        for name, (kind, _, m) in tapped.items():
+            z, d = zs[name], deltas[name]
+            cf, s = d.shape[:2]
+            if kind == "dense":
+                if z.ndim == 2:
+                    mixed[f"{name}/kernel"] = DenseFactor(z=z, delta=d)
+                    if f"{name}/bias" in flat_params:
+                        mixed[f"{name}/bias"] = d
+                else:
+                    # extra input dims: sum the Kronecker terms over them
+                    # (exact — the reference falls back here, linear.py:38-39)
+                    zf = jnp.reshape(z, (s, -1, z.shape[-1]))
+                    df = jnp.reshape(d, (cf, s, -1, d.shape[-1]))
+                    mixed[f"{name}/kernel"] = jnp.einsum(
+                        "npi,cnpo->cnio", zf, df
+                    )
+                    if f"{name}/bias" in flat_params:
+                        mixed[f"{name}/bias"] = jnp.sum(df, axis=2)
+            else:
+                patches = _conv_patches(z, m)  # [S, P, K]
+                df = jnp.reshape(d, (cf, s, -1, d.shape[-1]))  # [CF,S,P,O]
+                vt = jnp.einsum("npk,cnpo->cnko", patches, df)
+                if conv_vt_dtype is not None:
+                    # demoted storage (e.g. bf16 for the bf16-Gram pipeline);
+                    # XLA fuses the cast into the matmul epilogue
+                    vt = vt.astype(conv_vt_dtype)
+                # [CF, S, K, O], K channel-major (I, *k)
+                kshape = flat_params[f"{name}/kernel"].shape  # [*k, I, O]
+                nd = len(kshape) - 2
+                native = jnp.reshape(
+                    vt, (cf, s, kshape[-2], *kshape[:nd], kshape[-1])
+                )
+                mixed[f"{name}/kernel"] = ConvVT(native, kshape)
+                if f"{name}/bias" in flat_params:
+                    mixed[f"{name}/bias"] = jnp.sum(df, axis=2)
+
+    # generic fallback for everything else (exactness, not speed)
+    leftover = [p for p in leaf_paths(params) if p not in mixed]
+    if leftover:
+        diff_flat = {p: flat_params[p] for p in leftover}
+
+        def model_fn_partial(diff_params, x):
+            merged = dict(flat_params)
+            merged.update(diff_params)
+            rebuilt = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(params),
+                [merged[p] for p in leaf_paths(params)],
+            )
+            return module.apply({"params": rebuilt, **consts}, x)
+
+        vt_generic = ggn_sqrt_vt(
+            model_fn_partial, loss, diff_flat, X, y,
+            subsampling=subsampling, mc_samples=mc_samples, key=key,
+            batch_size=batch_size, sample_ids=sample_ids,
+            column_scale=column_scale, deflate_ce_null=deflate_ce_null,
+        )
+        mixed.update(vt_generic)
+    return mixed
