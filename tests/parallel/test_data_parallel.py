@@ -402,6 +402,99 @@ def test_eigvalsh_dp_structured_groups_and_subsampling():
         assert np.allclose(dp[: len(dp) - len(sc)], 0.0, atol=1e-6)
 
 
+def test_eigh_dp_deflated_matches_undeflated():
+    """eigh_dp(deflate_ce_null=True): identical top-k eigenpairs via the
+    (C−1)·N deflated Gram (both k_top and criterion paths)."""
+    from vivit_tpu.parallel import eigh_dp
+
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    k = 3
+    want_ev, want_vecs = eigh_dp(model_fn, loss, mesh, k_top=k)(
+        params, X, y, None
+    )
+    got_ev, got_vecs = eigh_dp(model_fn, loss, mesh, k_top=k,
+                               deflate_ce_null=True)(params, X, y, None)
+    assert np.allclose(np.asarray(got_ev), np.asarray(want_ev),
+                       rtol=1e-4, atol=1e-6)
+    w_flat = np.asarray(ravel(want_vecs)).reshape(-1)
+    g_flat = np.asarray(ravel(got_vecs)).reshape(-1)
+    k_dim = np.asarray(want_ev).shape[0]
+    w2 = w_flat.reshape(-1)  # leaf-raveled; compare per-direction via dots
+    from vivit_tpu.utils.tree import flatten_with_paths
+
+    wl = np.concatenate([np.asarray(l).reshape(k_dim, -1)
+                         for _, l in flatten_with_paths(want_vecs)], axis=1)
+    gl = np.concatenate([np.asarray(l).reshape(k_dim, -1)
+                         for _, l in flatten_with_paths(got_vecs)], axis=1)
+    dots = np.abs(np.sum(wl * gl, axis=1)) / (
+        np.linalg.norm(wl, axis=1) * np.linalg.norm(gl, axis=1)
+    )
+    assert dots.min() > 0.999, dots
+
+    # criterion path: sees the deflated (C−1)·N spectrum
+    crit = vt.keep_top_k(k, must_exceed=1e-5)
+    got_ev_c, _ = eigh_dp(model_fn, loss, mesh, criterion=crit,
+                          deflate_ce_null=True)(params, X, y, None)
+    assert np.allclose(np.asarray(got_ev_c), np.asarray(want_ev),
+                       rtol=1e-4, atol=1e-6)
+
+
+def test_newton_step_dp_deflated_matches_undeflated():
+    mesh = _mesh()
+    model_fn, params, X, y = _setup()
+    loss = vt.CrossEntropyLoss("mean")
+    k = 3
+    _, want = newton_step_dp(model_fn, loss, mesh, k_top=k, damping=1.0)(
+        params, X, y, None
+    )
+    _, got = newton_step_dp(model_fn, loss, mesh, k_top=k, damping=1.0,
+                            deflate_ce_null=True)(params, X, y, None)
+    assert np.allclose(np.asarray(ravel(got)), np.asarray(ravel(want)),
+                       rtol=1e-4, atol=1e-6)
+
+
+def test_dp_structured_deflated_matches_undeflated():
+    """Structured DP eigenvalues + Newton step under factor-level CE null
+    deflation (Dense δ factors shrink to C−1 rows)."""
+    from vivit_tpu.models import MLP
+    from vivit_tpu.parallel import (
+        eigvalsh_dp_structured,
+        newton_step_dp_structured,
+    )
+
+    mesh = _mesh()
+    module = MLP(features=(6, C))
+    variables = module.init(jax.random.PRNGKey(8),
+                            jnp.ones((1, D_IN), jnp.float32))
+    rng = np.random.default_rng(66)
+    X = jnp.asarray(rng.normal(size=(N, D_IN)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+
+    want = np.sort(np.asarray(
+        eigvalsh_dp_structured(module, loss, mesh)(variables, X, y, None)
+    ))
+    got = np.sort(np.asarray(
+        eigvalsh_dp_structured(module, loss, mesh, deflate_ce_null=True)(
+            variables, X, y, None
+        )
+    ))
+    lmax = abs(want[-1])
+    assert np.abs(got - want).max() <= 5e-6 * max(1.0, lmax) + 1e-4 * lmax
+    assert np.abs(got[:N]).max() <= 1e-6 * max(1.0, lmax)
+
+    k = 3
+    _, want_s = newton_step_dp_structured(module, loss, mesh, k_top=k,
+                                          damping=1.0)(variables, X, y, None)
+    _, got_s = newton_step_dp_structured(
+        module, loss, mesh, k_top=k, damping=1.0, deflate_ce_null=True
+    )(variables, X, y, None)
+    assert np.allclose(np.asarray(ravel(got_s)), np.asarray(ravel(want_s)),
+                       rtol=1e-4, atol=1e-6)
+
+
 def test_mc_dp_deterministic_across_layouts():
     """MC sampling folds global sample ids — invariant to chip layout."""
     mesh = _mesh()

@@ -255,6 +255,47 @@ def test_newton_step_structured_deflated_matches():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_eigh_topk_streamed_deflated_matches():
+    """eigh_topk_streamed(deflate_ce_null=True): same top-k evals, same
+    eigenvectors up to sign; k beyond the deflated rank raises."""
+    from vivit_tpu.chunked import eigh_topk_streamed
+
+    p = next(pp for pp in CE_PROBLEMS if "mean" in pp.name)
+    k = 3
+    want_ev, want_vecs = eigh_topk_streamed(
+        p.model_fn, p.loss, p.params, p.X, p.y, k)
+    got_ev, got_vecs = eigh_topk_streamed(
+        p.model_fn, p.loss, p.params, p.X, p.y, k, deflate_ce_null=True)
+    lmax = abs(np.asarray(want_ev)[-1])
+    assert np.abs(np.asarray(got_ev) - np.asarray(want_ev)).max() <= (
+        5e-6 * max(1.0, lmax) + 1e-4 * lmax
+    )
+    flat_w = np.concatenate(
+        [np.asarray(v).reshape(k, -1) for v in want_vecs], axis=1)
+    flat_g = np.concatenate(
+        [np.asarray(v).reshape(k, -1) for v in got_vecs], axis=1)
+    dots = np.abs(np.sum(flat_w * flat_g, axis=1)) / (
+        np.linalg.norm(flat_w, axis=1) * np.linalg.norm(flat_g, axis=1)
+    )
+    assert dots.min() > 0.999, dots
+    with pytest.raises(ValueError, match="rank"):
+        eigh_topk_streamed(p.model_fn, p.loss, p.params, p.X, p.y,
+                           10_000, deflate_ce_null=True)
+
+
+def test_newton_step_streamed_deflated_matches():
+    from vivit_tpu.chunked import newton_step_streamed
+
+    p = next(pp for pp in CE_PROBLEMS if "mean" in pp.name)
+    want = newton_step_streamed(p.model_fn, p.loss, p.params, p.X, p.y,
+                                k=3, damping=1.0)
+    got = newton_step_streamed(p.model_fn, p.loss, p.params, p.X, p.y,
+                               k=3, damping=1.0, deflate_ce_null=True)
+    for wl, gl in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(wl),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_rejects_invalid_configs():
     p = CE_PROBLEMS[0]
     with pytest.raises(ValueError, match="mc_samples"):

@@ -301,6 +301,7 @@ def eigh_topk_streamed(
     precision: str = "highest",
     gram_precision: Optional[str] = None,
     eig_backend: str = "xla",
+    deflate_ce_null: bool = False,
 ):
     """Top-``k`` GGN eigenpairs in streaming memory mode.
 
@@ -310,21 +311,40 @@ def eigh_topk_streamed(
     stream accumulates the back-projection ``V ẽ``.  Reference memory
     strategy: incremental savefield freeing through the group-hook lifetime
     (vivit/utils/__init__.py:8-19, vivit/linalg/eigh.py:239-270).
+
+    ``deflate_ce_null`` (exact CE only): factor-level CE null deflation —
+    the eigenproblem shrinks to ``(C−1)·S``, both factor streams shorten by
+    one slice, and the back-projection through the deflated factors is
+    exact (the deflated ``V`` spans the full nonzero eigenspace).  Requires
+    ``k ≤ (C−1)·S``.
     """
     from vivit_tpu.eig import full_eigh
     from vivit_tpu.gram import normalize
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
 
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples)
+
     with jax.default_matmul_precision(precision):
         paths_t, Xs, factors, _ = _prepare_factors(
             model_fn, loss, params, X, y, paths=paths,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
-            batch_size=batch_size,
+            batch_size=batch_size, deflate_ce_null=deflate_ce_null,
         )
+        if k > factors.shape[0] * factors.shape[1]:
+            raise ValueError(
+                f"k={k} exceeds the Gram rank CF·S = "
+                f"{factors.shape[0] * factors.shape[1]}"
+                + (" (deflated: the top-k would reach the structural "
+                   "null space)" if deflate_ce_null else "")
+            )
         gram = gram_streamed(
             model_fn, loss, params, X, y, paths=paths_t,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
             batch_size=batch_size, precision=_PRECISIONS[gram_precision],
+            deflate_ce_null=deflate_ce_null,
         )
         evals, evecs = full_eigh(gram, backend=eig_backend)
         evals_sel = evals[-k:]
@@ -352,6 +372,7 @@ def newton_step_streamed(
     precision: str = "highest",
     gram_precision: Optional[str] = None,
     eig_backend: str = "xla",
+    deflate_ce_null: bool = False,
 ):
     """Damped Newton step along the top-``k`` directions, streaming memory.
 
@@ -361,6 +382,13 @@ def newton_step_streamed(
     i-slice, and the final ``V``-application of the Gram-space step runs as
     one more factor stream.  Peak memory ≈ two ``[S, D]`` factor slices +
     the per-sample gradients.
+
+    ``deflate_ce_null`` (exact CE only): factor-level CE null deflation.
+    γ, λ and the step are exact under it — ``Vᵀg`` in the deflated basis
+    back-projects to the same parameter-space γ (``gᵀ V_d ẽ_d = gᵀ e``),
+    and the per-sample λ projection loses nothing because the removed
+    factor combination is an exact ``V`` null vector.  Requires
+    ``k ≤ (C−1)·S``.
     """
     from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
@@ -372,14 +400,24 @@ def newton_step_streamed(
             "(same restriction as the reference)."
         )
     check_subsampling_unique(subsampling_grad)
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples_ggn)
     with jax.default_matmul_precision(precision):
         N = batch_size if batch_size is not None else X.shape[0]
         paths_t, Xs, factors, _ = _prepare_factors(
             model_fn, loss, params, X, y, paths=paths,
             subsampling=subsampling_ggn, mc_samples=mc_samples_ggn, key=key,
-            batch_size=batch_size,
+            batch_size=batch_size, deflate_ce_null=deflate_ce_null,
         )
         S = Xs.shape[0]
+        if k > factors.shape[1] * S:
+            raise ValueError(
+                f"k={k} exceeds the Gram rank CF·S = {factors.shape[1] * S}"
+                + (" (deflated: the top-k would reach the structural "
+                   "null space)" if deflate_ce_null else "")
+            )
 
         grads = batch_grad(model_fn, loss, params, X, y,
                            subsampling=subsampling_grad, batch_size=N)
@@ -390,7 +428,7 @@ def newton_step_streamed(
             model_fn, loss, params, X, y, paths=paths_t,
             subsampling=subsampling_ggn, mc_samples=mc_samples_ggn, key=key,
             batch_size=batch_size, precision=_PRECISIONS[gram_precision],
-            grad_leaves=grad_leaves,
+            grad_leaves=grad_leaves, deflate_ce_null=deflate_ce_null,
         )
         evals, evecs = full_eigh(gram, backend=eig_backend)
         evals_sel = evals[-k:]

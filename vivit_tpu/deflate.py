@@ -103,40 +103,6 @@ def deflated_eigvalsh(
     return jnp.sort(jnp.concatenate([zeros, evals_d]))
 
 
-def deflate_gram_sharded(gram: jnp.ndarray, probs_k: jnp.ndarray) -> jnp.ndarray:
-    """:func:`deflate_gram` for the data-parallel Gram layout.
-
-    The DP global column order is ``(device, c, n_local)`` (docs/design.md
-    "Gram index layout"), so the per-sample C-blocks live at stride
-    ``S_local`` inside each device's block.  ``probs_k`` is the
-    all-gathered ``[k, S_local, C]`` softmax array; every chip runs this
-    identical replicated projection (no further communication).
-    """
-    k, s, c = probs_k.shape
-    w = ce_null_complement(probs_k.reshape(k * s, c)).reshape(k, s, c, c - 1)
-    g6 = gram.reshape(k, c, s, k, c, s)
-    g6 = jnp.einsum("abcdef,acbg->agcdef", g6, w, precision=_HI)
-    g6 = jnp.einsum("agcdef,dfeh->agcdhf", g6, w, precision=_HI)
-    return g6.reshape(k * (c - 1) * s, k * (c - 1) * s)
-
-
-def deflated_eigvalsh_sharded(
-    gram: jnp.ndarray,
-    probs_k: jnp.ndarray,
-    *,
-    backend: str = "xla",
-) -> jnp.ndarray:
-    """DP-layout variant of :func:`deflated_eigvalsh` (adds ``k·S`` zeros)."""
-    from vivit_tpu.eig import full_eigh
-
-    evals_d, _ = full_eigh(
-        deflate_gram_sharded(gram, probs_k), backend=backend,
-        eigenvectors=False,
-    )
-    zeros = jnp.zeros((probs_k.shape[0] * probs_k.shape[1],), evals_d.dtype)
-    return jnp.sort(jnp.concatenate([zeros, evals_d]))
-
-
 def ce_null_vectors(probs: jnp.ndarray) -> jnp.ndarray:
     """The ``S`` analytic null eigenvectors, column-stacked ``[CS, S]``.
 
@@ -251,9 +217,7 @@ __all__ = [
     "ce_null_complement",
     "ce_null_vectors",
     "deflate_gram",
-    "deflate_gram_sharded",
     "deflated_eigvalsh",
-    "deflated_eigvalsh_sharded",
     "deflated_eigh",
     "deflated_topk_eigh",
     "lift_gram_vecs",

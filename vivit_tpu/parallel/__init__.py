@@ -221,6 +221,7 @@ def eigvalsh_dp_structured(
     group_paths: Optional[Sequence[Sequence[str]]] = None,
     subsampling: Optional[Sequence[int]] = None,
     eig_backend: str = "xla",
+    deflate_ce_null: bool = False,
 ) -> Callable:
     """Data-parallel eigenvalues with the Dense fast path (flax models).
 
@@ -236,12 +237,22 @@ def eigvalsh_dp_structured(
     here are relative to ``variables["params"]``).
 
     ``fn(variables, X, y, key) -> evals`` (global batch sharded over the mesh).
+
+    ``deflate_ce_null`` (exact CE only): shard-local factor-level CE null
+    deflation — the Dense ``δ`` factors and generic leaves shrink to
+    ``C−1`` factor rows, so the gathered factor Grams and the
+    all_to_all/psum collectives shrink with them; the ``N`` structural
+    zeros are appended exactly (:func:`eigvalsh_dp` semantics).
     """
     from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
     from vivit_tpu.structured import DenseFactor, structured_ggn_sqrt_vt
 
     check_subsampling_unique(subsampling)
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples)
     gp = _PRECISIONS[gram_precision]
 
     def per_shard(variables, X_l, y_l, key):
@@ -256,6 +267,7 @@ def eigvalsh_dp_structured(
             vt = structured_ggn_sqrt_vt(
                 module, variables, loss, X_l, y_l,
                 mc_samples=mc_samples, key=key, sample_ids=ids,
+                deflate_ce_null=deflate_ce_null,
                 engine="vjp",  # DP Gram/scale plumbing predates ConvVT
             )
             # structured_ggn_sqrt_vt used the *local* scale √(1/n_local);
@@ -280,16 +292,23 @@ def eigvalsh_dp_structured(
                             mask, (1, -1) + (1,) * (leaf.ndim - 2)))
                     for p, leaf in vt.items()
                 }
+            if deflate_ce_null:
+                zeros = jnp.zeros((n_global,), jnp.float32)
+
+                def solve(gram):
+                    evals_d, _ = full_eigh(gram, backend=eig_backend,
+                                           eigenvectors=False)
+                    return jnp.sort(jnp.concatenate([zeros, evals_d]))
+            else:
+                def solve(gram):
+                    return full_eigh(gram, backend=eig_backend,
+                                     eigenvectors=False)[0]
+
             if group_paths is None:
-                gram = _structured_gram_dp(vt, rescale, axis_name, gp)
-                return full_eigh(gram, backend=eig_backend,
-                                 eigenvectors=False)[0]
+                return solve(_structured_gram_dp(vt, rescale, axis_name, gp))
             return tuple(
-                full_eigh(
-                    _structured_gram_dp(vt, rescale, axis_name, gp,
-                                        paths=tuple(paths)),
-                    backend=eig_backend, eigenvectors=False,
-                )[0]
+                solve(_structured_gram_dp(vt, rescale, axis_name, gp,
+                                          paths=tuple(paths)))
                 for paths in group_paths
             )
 
@@ -315,6 +334,7 @@ def eigh_dp(
     axis_name: str = DEFAULT_AXIS,
     precision: str = "highest",
     solver: str = "eigh",
+    deflate_ce_null: bool = False,
 ) -> Callable:
     """Build a data-parallel GGN eigenpair function.
 
@@ -338,12 +358,26 @@ def eigh_dp(
     * ``warn_small_eigvals``: warn when selected eigenvalues fall below the
       threshold (reference vivit/linalg/eigh.py:255-262); emitted via
       ``jax.debug.callback`` so the jitted path stays async.
+
+    ``deflate_ce_null`` (exact CE only): shard-local factor-level CE null
+    deflation (:func:`eigvalsh_dp` semantics) — ``V``, the Gram collectives
+    and the eigensolver all shrink to ``(C−1)·N``; eigenpair back-projection
+    through the deflated ``V`` is exact (the deflated columns span the full
+    nonzero eigenspace).  Requires ``k_top ≤ (C−1)·N``; on the ``criterion``
+    path the criterion sees the *deflated* ``(C−1)·N`` spectrum (the ``N``
+    structural zeros are not selectable directions — their analytic Gram
+    null vectors back-project to 0).
     """
     if (k_top is None) == (criterion is None):
         raise ValueError("Pass exactly one of `k_top` or `criterion`.")
     from vivit_tpu.eig import topk_eigh
     from vivit_tpu.linalg.utils import warn_if_small
     from vivit_tpu.utils.tree import unravel_like
+
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples)
 
     def shard_vt(params, X_l, y_l, key):
         """This shard's ``V`` rows ``[cols_local, D]``."""
@@ -355,9 +389,17 @@ def eigh_dp(
             model_fn, loss, params, X_l, y_l,
             mc_samples=mc_samples, key=key,
             column_scale=jnp.sqrt(jnp.asarray(loss.rho(n_global))),
-            sample_ids=ids,
+            sample_ids=ids, deflate_ce_null=deflate_ce_null,
         )
-        return _flatten_vt(vt)
+        v_local = _flatten_vt(vt)
+        if k_top is not None and k_top > v_local.shape[0] * k:
+            raise ValueError(
+                f"k_top={k_top} exceeds the Gram rank CF·N = "
+                f"{v_local.shape[0] * k}"
+                + (" (deflated: the top-k would reach the structural "
+                   "null space)" if deflate_ce_null else "")
+            )
+        return v_local
 
     def shard_project(v_local, evecs_sel):
         """Back-project selected Gram eigenvectors: ``e = V ẽ`` (psum)."""
@@ -485,6 +527,7 @@ def newton_step_dp(
     subsampling_grad: Optional[Sequence[int]] = None,
     subsampling_ggn: Optional[Sequence[int]] = None,
     solver: str = "eigh",
+    deflate_ce_null: bool = False,
 ) -> Callable:
     """Build a jitted data-parallel damped-Newton step (the full DP pipeline).
 
@@ -512,6 +555,13 @@ def newton_step_dp(
     must divide by ``|S|``, not the array length.  ``solver`` picks the
     top-``k`` eigensolver: ``"eigh"`` (full XLA), ``"lobpcg"`` (skinny
     iteration), or ``"dc"`` (MXU-native spectral D&C, guarded).
+
+    ``deflate_ce_null`` (exact CE only): shard-local factor-level CE null
+    deflation — the Gram collectives and the top-``k`` eigensolver shrink
+    to ``(C−1)·N`` columns.  γ, λ and the step are exact under it: the
+    removed per-sample factor combination is an exact ``V`` null vector,
+    so the γ back-projection and the per-sample λ projection lose nothing.
+    Requires ``k_top ≤ (C−1)·N_ggn``.
     """
     if loss.reduction != "mean":
         raise ValueError("Newton step requires reduction='mean'.")
@@ -519,6 +569,11 @@ def newton_step_dp(
     check_subsampling_unique(subsampling_ggn)
     from vivit_tpu.eig import topk_eigh
     from vivit_tpu.utils.tree import select_paths, unravel_like
+
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples)
 
     def _check_rank(cf: int):
         """Sub-sampled Grams carry only |S|·CF nonzero eigenvalues; a larger
@@ -596,9 +651,16 @@ def newton_step_dp(
                 model_fn, loss, params, X_l, y_l,
                 mc_samples=mc_samples, key=key,
                 column_scale=scale, sample_ids=ids,
+                deflate_ce_null=deflate_ce_null,
             )
             first = next(iter(jax.tree_util.tree_leaves(vt)))
             _check_rank(first.shape[0])
+            if k_top > first.shape[0] * n_global:
+                raise ValueError(
+                    f"k_top={k_top} exceeds the Gram rank CF·N = "
+                    f"{first.shape[0] * n_global}"
+                    + (" (deflated)" if deflate_ce_null else "")
+                )
             if mask is not None:
                 vt = _mask_vt(vt, mask)
 
@@ -702,6 +764,7 @@ def newton_step_dp_structured(
     precision: str = "highest",
     gram_precision: str = None,
     solver: str = "eigh",
+    deflate_ce_null: bool = False,
 ) -> Callable:
     """Data-parallel damped-Newton step with the Dense fast path (flax).
 
@@ -718,6 +781,11 @@ def newton_step_dp_structured(
     vivit/optim/directional_damped_newton.py:140-176) — γ/λ are gathered
     into global sample order before the call.  ``solver``: ``"eigh"`` |
     ``"lobpcg"`` | ``"dc"`` for the top-``k`` Gram eigensolver.
+
+    ``deflate_ce_null`` (exact CE only): shard-local factor-level CE null
+    deflation — collectives and the top-``k`` eigensolver shrink to
+    ``(C−1)·N`` columns; γ/λ/step are exact (:func:`newton_step_dp`).
+    Requires ``k_top ≤ (C−1)·N``.
     """
     from vivit_tpu.eig import topk_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
@@ -731,6 +799,10 @@ def newton_step_dp_structured(
 
     if loss.reduction != "mean":
         raise ValueError("Newton step requires reduction='mean'.")
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples)
     gp = _PRECISIONS[gram_precision]
 
     def per_shard(variables, X_l, y_l, key):
@@ -747,6 +819,7 @@ def newton_step_dp_structured(
             vt = structured_ggn_sqrt_vt(
                 module, variables, loss, X_l, y_l,
                 mc_samples=mc_samples, key=key, sample_ids=ids,
+                deflate_ce_null=deflate_ce_null,
                 engine="vjp",  # DP Gram/scale plumbing predates ConvVT
             )
             # local √(1/n_local) column scale → global √ρ(n_global)
@@ -760,6 +833,12 @@ def newton_step_dp_structured(
             }
 
             gram = _structured_gram_dp(vt, 1.0, axis_name, gp)
+            if k_top > gram.shape[0]:
+                raise ValueError(
+                    f"k_top={k_top} exceeds the Gram rank CF·N = "
+                    f"{gram.shape[0]}"
+                    + (" (deflated)" if deflate_ce_null else "")
+                )
             evals_sel, evecs_sel = topk_eigh(gram, k_top, solver=solver)
 
             # this chip's ẽ rows (global column order is (device, cf, n))
