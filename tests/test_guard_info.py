@@ -1,0 +1,149 @@
+"""In-band runtime-guard observability (VERDICT r3 #6).
+
+The D&C eigensolver's fallback warning rides ``jax.debug.callback``, which
+the axon tunneled-TPU plugin rejects — so a tripped guard must also be
+visible *in-band*: ``return_info=True`` returns ``{"tripped", "bound",
+"orth"}`` scalars computed inside the jitted program.  These tests pin the
+contract: zero info on healthy spectra and non-dc backends, a real trip
+flag when the solver output is genuinely bad (forced by degrading the
+polish), and the knob's availability through the pipeline surfaces
+(EighComputation, DP builders).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vivit_tpu.eig import full_eigh, no_trip_info, topk_eigh
+from vivit_tpu.eigdc import eigh_dc, eigvalsh_dc
+
+N = 512
+
+
+def _spectrum_matrix(lam, seed=0):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((len(lam), len(lam))))
+    return ((Q * lam) @ Q.T).astype(np.float32)
+
+
+def _ggn_like(n=N, seed=0):
+    return _spectrum_matrix(np.exp(-np.linspace(0, 11, n)) * 250.0 + 1e-7,
+                            seed=seed)
+
+
+def test_healthy_spectrum_guard_cold():
+    """A healthy GGN-like spectrum must NOT trip; info scalars are finite
+    and far below the guard threshold."""
+    A = jnp.asarray(_ggn_like())
+    ev, info = jax.jit(lambda H: eigvalsh_dc(H, return_info=True))(A)
+    assert not bool(info["tripped"])
+    assert float(info["bound"]) < 1e-5
+    assert float(info["orth"]) < 1e-5
+    # values identical to the info-less call (info must not perturb compute)
+    ev0 = jax.jit(eigvalsh_dc)(A)
+    np.testing.assert_array_equal(np.asarray(ev), np.asarray(ev0))
+
+
+@pytest.mark.slow
+def test_forced_trip_sets_flag_and_falls_back():
+    """Degrading the polish until the decomposition is genuinely bad must
+    (a) set the in-band flag and (b) still return XLA-grade eigenvalues
+    via the in-program fallback."""
+    lam = np.repeat(np.exp(-np.arange(N // 8) / 10.0), 8)  # degenerate
+    A = _spectrum_matrix(lam)
+    ev, info = jax.jit(lambda H: eigvalsh_dc(
+        H, return_info=True, sign_iters_root=(1, 1), sign_iters=(1, 1),
+        orth_iters=(1, 1), ns_global=0, dm_iters=(0, 0, 0), kpm_degree=8,
+    ))(jnp.asarray(A))
+    assert bool(info["tripped"])
+    assert float(info["bound"]) > 1e-4 or float(info["orth"]) > 1e-4
+    ref = np.linalg.eigvalsh(A.astype(np.float64))
+    err = np.abs(np.sort(np.asarray(ev)) - ref)
+    tol = 5e-6 * max(1.0, abs(ref[-1])) + 1e-4 * np.abs(ref)
+    assert (err <= tol).all(), err.max()
+
+
+@pytest.mark.slow
+def test_forced_trip_eigenvector_mode():
+    """Same trip in eigenvector mode: flag set, fallback pairs returned."""
+    lam = np.repeat(np.exp(-np.arange(N // 8) / 10.0), 8)
+    A = _spectrum_matrix(lam, seed=1)
+    ev, V, info = jax.jit(lambda H: eigh_dc(
+        H, return_info=True, sign_iters_root=(1, 1), sign_iters=(1, 1),
+        orth_iters=(1, 1), ns_global=0, dm_iters=(0, 0, 0), kpm_degree=8,
+    ))(jnp.asarray(A))
+    assert bool(info["tripped"])
+    V = np.asarray(V)
+    # fallback eigenvectors are XLA's: orthonormal to f32 precision
+    assert np.abs(V.T @ V - np.eye(N)).max() < 1e-4
+
+
+def test_small_matrix_and_guard_none_zero_info():
+    """Paths where the guard cannot trip return the all-zeros constant."""
+    A = jnp.asarray(_spectrum_matrix(np.linspace(0.5, 2.0, 64)))
+    ev, info = eigvalsh_dc(A, return_info=True)  # n=64 → exact small solve
+    assert not bool(info["tripped"])
+    A2 = jnp.asarray(_ggn_like(seed=2))
+    ev2, _, info2 = eigh_dc(A2, guard=None, return_info=True)
+    assert not bool(info2["tripped"])
+    assert float(info2["bound"]) == 0.0
+
+
+def test_full_eigh_topk_eigh_info_contract():
+    """Backend dispatchers: info rides every backend with one structure;
+    the default (no return_info) call shape is unchanged."""
+    A = jnp.asarray(_spectrum_matrix(np.linspace(0.5, 2.0, 96)))
+    want = jax.tree_util.tree_structure(no_trip_info())
+    for backend in ("xla", "dc"):
+        out = full_eigh(A, backend=backend, return_info=True)
+        assert len(out) == 3
+        assert jax.tree_util.tree_structure(out[2]) == want
+        assert not bool(out[2]["tripped"])
+        assert len(full_eigh(A, backend=backend)) == 2
+    for solver in ("eigh", "dc", "lobpcg"):
+        out = topk_eigh(A, 4, solver=solver, return_info=True)
+        assert len(out) == 3
+        assert jax.tree_util.tree_structure(out[2]) == want
+        assert len(topk_eigh(A, 4, solver=solver)) == 2
+
+
+def test_deflated_solvers_return_info():
+    """CE-deflated eigensolvers pass the info through."""
+    from vivit_tpu.deflate import deflated_eigh, deflated_eigvalsh
+
+    rng = np.random.default_rng(3)
+    s, c = 12, 5
+    logits = rng.normal(size=(s, c)).astype(np.float32)
+    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    # a CE-structured Gram: V with the exact per-sample null combination
+    V = rng.normal(size=(c * s, 40)).astype(np.float32)
+    u = np.sqrt(np.asarray(probs))  # [s, c]
+    V4 = V.reshape(c, s, -1)
+    V4 -= u.T[:, :, None] * np.einsum("cs,csd->sd", u.T, V4)[None]
+    gram = jnp.asarray((V4.reshape(c * s, -1) @ V4.reshape(c * s, -1).T))
+    ev, info = deflated_eigvalsh(gram, probs, return_info=True)
+    assert not bool(info["tripped"])
+    ref = np.linalg.eigvalsh(np.asarray(gram, np.float64))
+    np.testing.assert_allclose(np.sort(np.asarray(ev)), ref,
+                               rtol=1e-4, atol=1e-6 * abs(ref[-1]))
+    ev2, vecs, info2 = deflated_eigh(gram, probs, return_info=True)
+    assert not bool(info2["tripped"])
+    assert vecs.shape == (c * s, c * s)
+
+
+def test_eigh_computation_exposes_info():
+    """EighComputation.get_eig_info: stored per group, KeyError before
+    compute, not tripped on a healthy problem."""
+    import vivit_tpu as vt
+    from tests.implementation.cases import PROBLEMS
+
+    p = PROBLEMS[0]
+    comp = vt.EighComputation(p.model_fn, p.loss, eig_backend="dc")
+    group = {"params": list(p.paths), "criterion": lambda ev: [len(ev) - 1]}
+    with pytest.raises(KeyError):
+        comp.get_eig_info(group)
+    comp.compute(p.params, p.X, p.y, [group])
+    info = comp.get_eig_info(group)
+    assert set(info) == {"tripped", "bound", "orth"}
+    assert not bool(info["tripped"])

@@ -85,22 +85,26 @@ def deflated_eigvalsh(
     *,
     backend: str = "xla",
     key=None,
+    return_info: bool = False,
 ) -> jnp.ndarray:
     """Full ascending spectrum of a CE Gram via exact null deflation.
 
     Equals ``full_eigh(gram)[0]`` up to f32 noise (~1e-6·λmax measured on
     the real CIFAR-10 3c3d Grams): the N structural zeros are returned as
     exact ``0.0`` and the remaining ``(C−1)·N`` eigenvalues come from the
-    deflated block.
+    deflated block.  ``return_info``: also return the eigensolver's
+    runtime-guard info dict (:func:`vivit_tpu.eig.full_eigh`).
     """
     from vivit_tpu.eig import full_eigh
 
     w = ce_null_complement(probs)
-    evals_d, _ = full_eigh(
-        deflate_gram(gram, w), backend=backend, eigenvectors=False, key=key
+    evals_d, _, info = full_eigh(
+        deflate_gram(gram, w), backend=backend, eigenvectors=False, key=key,
+        return_info=True,
     )
     zeros = jnp.zeros((probs.shape[0],), evals_d.dtype)
-    return jnp.sort(jnp.concatenate([zeros, evals_d]))
+    evals = jnp.sort(jnp.concatenate([zeros, evals_d]))
+    return (evals, info) if return_info else evals
 
 
 def ce_null_vectors(probs: jnp.ndarray) -> jnp.ndarray:
@@ -124,6 +128,7 @@ def deflated_eigh(
     *,
     backend: str = "xla",
     key=None,
+    return_info: bool = False,
 ) -> tuple:
     """Full ascending eigenpairs of a CE Gram via exact null deflation.
 
@@ -132,12 +137,15 @@ def deflated_eigh(
     *analytic* eigenvectors (:func:`ce_null_vectors`), and the nonzero
     pairs are the deflated block's, lifted by the complement isometry
     (:func:`lift_gram_vecs` — an invariant subspace, so the lift is exact).
+    ``return_info``: also return the eigensolver's runtime-guard info dict
+    (:func:`vivit_tpu.eig.full_eigh`).
     """
     from vivit_tpu.eig import full_eigh
 
     w = ce_null_complement(probs)
-    evals_d, evecs_d = full_eigh(
-        deflate_gram(gram, w), backend=backend, eigenvectors=True, key=key
+    evals_d, evecs_d, info = full_eigh(
+        deflate_gram(gram, w), backend=backend, eigenvectors=True, key=key,
+        return_info=True,
     )
     evals = jnp.concatenate(
         [jnp.zeros((probs.shape[0],), evals_d.dtype), evals_d]
@@ -146,7 +154,8 @@ def deflated_eigh(
         [ce_null_vectors(probs), lift_gram_vecs(evecs_d, w)], axis=1
     )
     order = jnp.argsort(evals)
-    return evals[order], evecs[:, order]
+    out = (evals[order], evecs[:, order])
+    return (*out, info) if return_info else out
 
 
 def deflated_topk_eigh(

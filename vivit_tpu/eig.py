@@ -14,12 +14,24 @@ import jax
 import jax.numpy as jnp
 
 
+def no_trip_info() -> dict:
+    """Guard-info constant for eigensolve paths that cannot trip a guard.
+
+    Same pytree structure as the D&C solver's runtime-guard info
+    (:func:`vivit_tpu.eigdc.eigh_dc` with ``return_info``), so pipelines can
+    plumb guard observability uniformly across backends.
+    """
+    z = jnp.zeros((), jnp.float32)
+    return {"tripped": jnp.zeros((), jnp.bool_), "bound": z, "orth": z}
+
+
 def full_eigh(
     gram: jnp.ndarray,
     *,
     backend: str = "xla",
     eigenvectors: bool = True,
     key: Optional[jax.Array] = None,
+    return_info: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full-spectrum symmetric eigendecomposition with backend dispatch.
 
@@ -28,17 +40,25 @@ def full_eigh(
     divide-and-conquer (:mod:`vivit_tpu.eigdc`) — measured ~1.3-1.5× faster
     at the benchmark Gram size (1280²) on TPU v5e with reference-grade
     eigenvalue parity on GGN spectra (docs/design.md).
+
+    ``return_info``: also return the runtime-guard info dict
+    (``{"tripped", "bound", "orth"}``) as a third element — the in-band
+    fallback-observability signal for the dc backend (host callbacks are
+    unavailable on the axon tunneled-TPU plugin); all-zeros under
+    ``backend="xla"``.
     """
     if backend == "dc":
         from vivit_tpu.eigdc import eigh_dc
 
-        return eigh_dc(gram, eigenvectors=eigenvectors, key=key)
+        return eigh_dc(gram, eigenvectors=eigenvectors, key=key,
+                       return_info=return_info)
     if backend != "xla":
         raise ValueError(f"Unknown eig backend {backend!r} (use 'xla' or 'dc').")
     if eigenvectors:
         evals, evecs = jnp.linalg.eigh(gram)
-        return evals, evecs
-    return jnp.linalg.eigvalsh(gram), None
+    else:
+        evals, evecs = jnp.linalg.eigvalsh(gram), None
+    return (evals, evecs, no_trip_info()) if return_info else (evals, evecs)
 
 
 def topk_eigh(
@@ -46,6 +66,7 @@ def topk_eigh(
     k: int,
     solver: str = "eigh",
     lobpcg_iters: int = 100,
+    return_info: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-``k`` eigenpairs of a PSD Gram matrix (ascending order).
 
@@ -57,17 +78,23 @@ def topk_eigh(
     decomposition (:mod:`vivit_tpu.eigdc`).  All paths are jittable with
     static ``k``.
 
+    ``return_info``: also return the runtime-guard info dict (see
+    :func:`full_eigh`) — meaningful for ``solver="dc"``, all-zeros
+    otherwise.
+
     Returns:
         ``(evals [k] ascending, evecs [dim, k])`` column-stacked.
     """
     if solver == "eigh":
         evals, evecs = jnp.linalg.eigh(gram)
-        return evals[-k:], evecs[:, -k:]
+        out = (evals[-k:], evecs[:, -k:])
+        return (*out, no_trip_info()) if return_info else out
     if solver == "dc":
         from vivit_tpu.eigdc import eigh_dc
 
-        evals, evecs = eigh_dc(gram)
-        return evals[-k:], evecs[:, -k:]
+        evals, evecs, info = eigh_dc(gram, return_info=True)
+        out = (evals[-k:], evecs[:, -k:])
+        return (*out, info) if return_info else out
     if solver == "lobpcg":
         from jax.experimental.sparse.linalg import lobpcg_standard
 
@@ -76,7 +103,8 @@ def topk_eigh(
         )
         theta, u, _ = lobpcg_standard(gram, x0, m=lobpcg_iters)
         order = jnp.argsort(theta)  # lobpcg returns unsorted top-k
-        return theta[order], u[:, order]
+        out = (theta[order], u[:, order])
+        return (*out, no_trip_info()) if return_info else out
     raise ValueError(
         f"Unknown solver {solver!r} (use 'eigh', 'lobpcg' or 'dc')."
     )

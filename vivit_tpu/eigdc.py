@@ -641,6 +641,12 @@ def _make_cfg(base=160, chain=6, sign_root=(9, 4), sign=(9, 4), orth=(8, 3),
             "strip": strip}
 
 
+def _no_trip_info() -> dict:
+    """Guard info constant for paths where the guard cannot trip."""
+    z = jnp.zeros((), _F32)
+    return {"tripped": jnp.zeros((), jnp.bool_), "bound": z, "orth": z}
+
+
 def eigh_dc(
     H: jnp.ndarray,
     *,
@@ -651,6 +657,7 @@ def eigh_dc(
     bottom: int = 320,
     key: Optional[jax.Array] = None,
     guard: Optional[float] = 1e-4,
+    return_info: bool = False,
     sign_iters_root: Tuple[int, int] = (9, 4),
     sign_iters: Tuple[int, int] = (9, 4),
     orth_iters: Tuple[int, int] = (8, 3),
@@ -687,12 +694,21 @@ def eigh_dc(
     (wide exact degeneracies) into a runtime property instead of a
     caveat users must know a priori.  ``guard=None`` disables the check
     (saves ~3 n³ matmuls ≈ 0.5 ms at n=1280).
+
+    ``return_info``: also return a guard-info dict of in-band scalars —
+    ``{"tripped": bool, "bound": f32, "orth": f32}`` — as a third element.
+    This is the ON-DEVICE trip signal: host callbacks (the warning path
+    below) are rejected by the axon tunneled-TPU plugin, so in-band info
+    is the only fallback observability on that platform.  On paths where
+    the guard cannot trip (small ``n`` exact solve, ``guard=None``) the
+    info is the all-zeros constant.
     """
     n = H.shape[0]
     H = 0.5 * (H + H.T).astype(_F32)
     if n <= max(base, 2 * _MARGIN):
         evals, evecs = jnp.linalg.eigh(H)
-        return (evals, evecs) if eigenvectors else (evals, None)
+        out = (evals, evecs) if eigenvectors else (evals, None)
+        return (*out, _no_trip_info()) if return_info else out
     if key is None:
         key = jax.random.PRNGKey(0)
     strip_on = strip != 0 and n >= (strip or _STRIP_MIN)
@@ -932,7 +948,7 @@ def eigh_dc(
     evecs = Qp[:, order][:, pad:] if eigenvectors else None
 
     if guard is None:
-        return evals, evecs
+        return (evals, evecs, _no_trip_info()) if return_info else (evals, evecs)
 
     # ---- runtime self-check + XLA fallback ---------------------------------
     # defect 1: second-order eigenvalue-perturbation bound from the
@@ -980,15 +996,17 @@ def eigh_dc(
     # sniff the plugin via platform_version), hence the trace-time gate.
     if _host_callbacks_supported():
         jax.debug.callback(_warn_on_fallback, bad, bound, orth, ordered=False)
+    info = {"tripped": bad, "bound": bound, "orth": orth}
 
     if eigenvectors:
-        return jax.lax.cond(
+        evals, evecs = jax.lax.cond(
             bad, lambda: tuple(jnp.linalg.eigh(H)), lambda: (evals, evecs)
         )
+        return (evals, evecs, info) if return_info else (evals, evecs)
     evals = jax.lax.cond(
         bad, lambda: jnp.linalg.eigvalsh(H), lambda: evals
     )
-    return evals, None
+    return (evals, None, info) if return_info else (evals, None)
 
 
 def _host_callbacks_supported() -> bool:
@@ -1017,10 +1035,16 @@ def _warn_on_fallback(bad, bound, orth):
         )
 
 
-def eigvalsh_dc(H: jnp.ndarray, **kwargs) -> jnp.ndarray:
-    """Eigenvalues-only variant of :func:`eigh_dc`."""
-    evals, _ = eigh_dc(H, eigenvectors=False, **kwargs)
-    return evals
+def eigvalsh_dc(H: jnp.ndarray, *, return_info: bool = False, **kwargs):
+    """Eigenvalues-only variant of :func:`eigh_dc`.
+
+    With ``return_info`` returns ``(evals, info)`` — see :func:`eigh_dc`.
+    """
+    out = eigh_dc(H, eigenvectors=False, return_info=return_info, **kwargs)
+    if return_info:
+        evals, _, info = out
+        return evals, info
+    return out[0]
 
 
 def refine_eigh(

@@ -33,7 +33,7 @@ def _gram_eigh_all(model_fn, loss, params, X, y, *, group_paths, subsampling,
                    mc_samples, key, batch_size=None,
                    precision="highest", gram_precision=None,
                    eig_backend="xla", deflate_ce_null=False):
-    """Stage 1: ``Vᵀ`` plus per-group (evals, evecs) of the Gram matrix."""
+    """Stage 1: ``Vᵀ`` plus per-group (evals, evecs, guard-info) of the Gram."""
     with jax.default_matmul_precision(precision):
         return _gram_eigh_all_impl(
             model_fn, loss, params, X, y, group_paths=group_paths,
@@ -64,10 +64,11 @@ def _gram_eigh_all_impl(model_fn, loss, params, X, y, *, group_paths,
         probs = jax.nn.softmax(model_fn(params, Xs), axis=-1)
 
         def solve(gram):
-            return deflated_eigh(gram, probs, backend=eig_backend)
+            return deflated_eigh(gram, probs, backend=eig_backend,
+                                 return_info=True)
     else:
         def solve(gram):
-            return full_eigh(gram, backend=eig_backend)
+            return full_eigh(gram, backend=eig_backend, return_info=True)
 
     eigs = tuple(
         solve(gram_matrix(vt, paths=paths,
@@ -206,6 +207,7 @@ class EighComputation:
         self._jit_cache: Dict = {}
         self._evals: Dict[int, jnp.ndarray] = {}
         self._evecs: Dict[int, List[jnp.ndarray]] = {}
+        self._eig_info: Dict[int, Dict[str, jnp.ndarray]] = {}
 
     def _get_fn(self, group_paths):
         if group_paths not in self._jit_cache:
@@ -250,7 +252,7 @@ class EighComputation:
         vt, eigs = self._get_fn(group_paths)(params, X, y, key)
 
         results = []
-        for group, paths, (gram_evals, gram_evecs) in zip(
+        for group, paths, (gram_evals, gram_evecs, eig_info) in zip(
             param_groups, group_paths, eigs
         ):
             # intp cast: an empty criterion selection must index cleanly
@@ -261,6 +263,7 @@ class EighComputation:
             evecs = backproject(vt, gram_evecs[:, keep], evals, paths)
             self._evals[group_key(group)] = evals
             self._evecs[group_key(group)] = evecs
+            self._eig_info[group_key(group)] = eig_info
             results.append((evals, evecs))
         return results
 
@@ -269,5 +272,19 @@ class EighComputation:
         group_id = group_key(group)
         try:
             return self._evals[group_id], self._evecs[group_id]
+        except KeyError as e:
+            raise KeyError("No results available for this group") from e
+
+    def get_eig_info(self, group: Dict) -> Dict[str, jnp.ndarray]:
+        """In-band runtime-guard info of the group's eigendecomposition.
+
+        ``{"tripped": bool, "bound": f32, "orth": f32}`` — nonzero only
+        under ``eig_backend="dc"``; ``tripped=True`` means the D&C guard
+        fell back to XLA inside the jitted program (the call paid for both
+        solvers).  This is the observable signal on platforms where host
+        callbacks are unavailable (the axon tunneled TPU).
+        """
+        try:
+            return self._eig_info[group_key(group)]
         except KeyError as e:
             raise KeyError("No results available for this group") from e

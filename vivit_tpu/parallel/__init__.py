@@ -120,12 +120,20 @@ def eigvalsh_dp(
     subsampling: Optional[Sequence[int]] = None,
     eig_backend: str = "xla",
     deflate_ce_null: bool = False,
+    return_eig_info: bool = False,
 ) -> Callable:
     """Build a jitted data-parallel GGN eigenvalue function.
 
     Returns ``fn(params, X, y, key) -> evals`` where ``X, y`` are global
     arrays sharded along the batch axis of ``mesh``.  Eigenvalues match the
     single-chip :func:`vivit_tpu.linalg.eigvalsh` on the global batch.
+
+    ``return_eig_info``: the function also returns the eigensolver's
+    in-band runtime-guard info (``{"tripped", "bound", "orth"}``, one dict
+    per group when ``group_paths`` is set) — the on-TPU signal that the
+    ``eig_backend="dc"`` guard fell back to XLA; host callbacks are
+    unavailable on the axon tunneled platform, so this is the only
+    fallback observability there.
 
     ``group_paths`` (block-diagonal ``param_groups``, reference
     vivit/linalg/eigvalsh.py:82-93): a sequence of leaf-path groups; the
@@ -182,22 +190,30 @@ def eigvalsh_dp(
                 zeros = jnp.zeros((n_global,), jnp.float32)
 
                 def solve(gram):
-                    evals_d, _ = full_eigh(
-                        gram, backend=eig_backend, eigenvectors=False
+                    evals_d, _, info = full_eigh(
+                        gram, backend=eig_backend, eigenvectors=False,
+                        return_info=True,
                     )
-                    return jnp.sort(jnp.concatenate([zeros, evals_d]))
+                    return jnp.sort(jnp.concatenate([zeros, evals_d])), info
             else:
                 def solve(gram):
-                    return full_eigh(
-                        gram, backend=eig_backend, eigenvectors=False
-                    )[0]
+                    evals, _, info = full_eigh(
+                        gram, backend=eig_backend, eigenvectors=False,
+                        return_info=True,
+                    )
+                    return evals, info
 
             if group_paths is None:
-                return solve(sharded_gram(_flatten_vt(vt), axis_name))
-            return tuple(
+                ev, info = solve(sharded_gram(_flatten_vt(vt), axis_name))
+                return (ev, info) if return_eig_info else ev
+            solved = tuple(
                 solve(sharded_gram(_flatten_vt(vt, tuple(paths)), axis_name))
                 for paths in group_paths
             )
+            evs = tuple(ev for ev, _ in solved)
+            if return_eig_info:
+                return evs, tuple(info for _, info in solved)
+            return evs
 
     shard_fn = jax.shard_map(
         per_shard,
@@ -222,6 +238,7 @@ def eigvalsh_dp_structured(
     subsampling: Optional[Sequence[int]] = None,
     eig_backend: str = "xla",
     deflate_ce_null: bool = False,
+    return_eig_info: bool = False,
 ) -> Callable:
     """Data-parallel eigenvalues with the Dense fast path (flax models).
 
@@ -243,6 +260,9 @@ def eigvalsh_dp_structured(
     ``C−1`` factor rows, so the gathered factor Grams and the
     all_to_all/psum collectives shrink with them; the ``N`` structural
     zeros are appended exactly (:func:`eigvalsh_dp` semantics).
+
+    ``return_eig_info``: also return the in-band runtime-guard info
+    (:func:`eigvalsh_dp` semantics).
     """
     from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
@@ -296,21 +316,31 @@ def eigvalsh_dp_structured(
                 zeros = jnp.zeros((n_global,), jnp.float32)
 
                 def solve(gram):
-                    evals_d, _ = full_eigh(gram, backend=eig_backend,
-                                           eigenvectors=False)
-                    return jnp.sort(jnp.concatenate([zeros, evals_d]))
+                    evals_d, _, info = full_eigh(gram, backend=eig_backend,
+                                                 eigenvectors=False,
+                                                 return_info=True)
+                    return jnp.sort(jnp.concatenate([zeros, evals_d])), info
             else:
                 def solve(gram):
-                    return full_eigh(gram, backend=eig_backend,
-                                     eigenvectors=False)[0]
+                    evals, _, info = full_eigh(gram, backend=eig_backend,
+                                               eigenvectors=False,
+                                               return_info=True)
+                    return evals, info
 
             if group_paths is None:
-                return solve(_structured_gram_dp(vt, rescale, axis_name, gp))
-            return tuple(
+                ev, info = solve(
+                    _structured_gram_dp(vt, rescale, axis_name, gp)
+                )
+                return (ev, info) if return_eig_info else ev
+            solved = tuple(
                 solve(_structured_gram_dp(vt, rescale, axis_name, gp,
                                           paths=tuple(paths)))
                 for paths in group_paths
             )
+            evs = tuple(ev for ev, _ in solved)
+            if return_eig_info:
+                return evs, tuple(info for _, info in solved)
+            return evs
 
     shard_fn = jax.shard_map(
         per_shard,
@@ -335,6 +365,7 @@ def eigh_dp(
     precision: str = "highest",
     solver: str = "eigh",
     deflate_ce_null: bool = False,
+    return_eig_info: bool = False,
 ) -> Callable:
     """Build a data-parallel GGN eigenpair function.
 
@@ -367,6 +398,13 @@ def eigh_dp(
     path the criterion sees the *deflated* ``(C−1)·N`` spectrum (the ``N``
     structural zeros are not selectable directions — their analytic Gram
     null vectors back-project to 0).
+
+    ``return_eig_info``: ``fn`` returns ``(evals, evecs, info)`` with the
+    eigensolver's in-band runtime-guard dict (meaningful for
+    ``solver="dc"``; see :func:`eigvalsh_dp`).  On the ``criterion`` path
+    a tripped guard additionally emits a host-side warning (the spectrum
+    is fetched to the host there anyway, so this works on the axon
+    platform where device callbacks don't).
     """
     if (k_top is None) == (criterion is None):
         raise ValueError("Pass exactly one of `k_top` or `criterion`.")
@@ -439,21 +477,24 @@ def eigh_dp(
             with jax.default_matmul_precision(precision):
                 v_local = shard_vt(params, X_l, y_l, key)
                 gram = sharded_gram(v_local, axis_name)
-                evals_sel, evecs_sel = topk_eigh(gram, k_top, solver=solver)
-                return evals_sel, shard_project(v_local, evecs_sel)
+                evals_sel, evecs_sel, info = topk_eigh(
+                    gram, k_top, solver=solver, return_info=True
+                )
+                return evals_sel, shard_project(v_local, evecs_sel), info
 
         shard_fn = jax.shard_map(
             per_shard_topk,
             mesh=mesh,
             in_specs=(P(), P(axis_name), P(axis_name), P()),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         )
 
         def fn(params, X, y, key=None):
-            evals, e_par = shard_fn(params, X, y, key)
+            evals, e_par, info = shard_fn(params, X, y, key)
             maybe_warn(evals)
-            return evals, stack_evecs(e_par, params, k_top)
+            out = (evals, stack_evecs(e_par, params, k_top))
+            return (*out, info) if return_eig_info else out
 
         return jax.jit(fn)
 
@@ -481,7 +522,8 @@ def eigh_dp(
             check_vma=False,
         )
     )
-    eigh_fn = jax.jit(lambda g: full_eigh(g, backend=backend))
+    eigh_fn = jax.jit(lambda g: full_eigh(g, backend=backend,
+                                          return_info=True))
 
     def per_shard_project(params, X_l, y_l, key, evecs_sel):
         with jax.default_matmul_precision(precision):
@@ -501,14 +543,27 @@ def eigh_dp(
         import numpy as np
 
         gram = gram_fn(params, X, y, key)
-        evals_all, evecs_all = eigh_fn(gram)
+        evals_all, evecs_all, info = eigh_fn(gram)
         evals_np = np.asarray(evals_all)
+        if bool(info["tripped"]):
+            # host-driven path: the in-band flag is checkable right here,
+            # on every platform (no device callback needed)
+            import warnings
+
+            warnings.warn(
+                "eigh_dc runtime guard tripped (bound "
+                f"{float(info['bound']):.2e}, orth {float(info['orth']):.2e})"
+                " — this call fell back to XLA inside the program and paid "
+                "for both solvers; consider solver='eigh' for this spectrum.",
+                stacklevel=2,
+            )
         keep = np.asarray(criterion(evals_np), dtype=np.intp)
         if warn_small_eigvals is not None:
             warn_if_small(evals_np[keep], warn_small_eigvals)
         e_par = project_fn(params, X, y, key, evecs_all[:, keep])
-        return jnp.asarray(evals_np[keep]), stack_evecs(e_par, params,
-                                                        len(keep))
+        out = (jnp.asarray(evals_np[keep]), stack_evecs(e_par, params,
+                                                        len(keep)))
+        return (*out, info) if return_eig_info else out
 
     return fn
 
@@ -528,6 +583,7 @@ def newton_step_dp(
     subsampling_ggn: Optional[Sequence[int]] = None,
     solver: str = "eigh",
     deflate_ce_null: bool = False,
+    return_eig_info: bool = False,
 ) -> Callable:
     """Build a jitted data-parallel damped-Newton step (the full DP pipeline).
 
@@ -562,6 +618,10 @@ def newton_step_dp(
     removed per-sample factor combination is an exact ``V`` null vector,
     so the γ back-projection and the per-sample λ projection lose nothing.
     Requires ``k_top ≤ (C−1)·N_ggn``.
+
+    ``return_eig_info``: ``fn`` also returns the eigensolver's in-band
+    runtime-guard info (one dict per group under ``group_paths``) —
+    meaningful for ``solver="dc"``; see :func:`eigvalsh_dp`.
     """
     if loss.reduction != "mean":
         raise ValueError("Newton step requires reduction='mean'.")
@@ -593,7 +653,9 @@ def newton_step_dp(
         v_local = _flatten_vt(vt, paths)  # [cols_local, D_g]
         cols_local = v_local.shape[0]
         gram = sharded_gram(v_local, axis_name)  # replicated
-        evals_sel, evecs_sel = topk_eigh(gram, k_top, solver=solver)
+        evals_sel, evecs_sel, eig_info = topk_eigh(
+            gram, k_top, solver=solver, return_info=True
+        )
 
         # parameter-space directions: e_k = V ẽ_k / √λ̃  (psum over shards)
         rows = jax.lax.dynamic_slice_in_dim(
@@ -636,7 +698,7 @@ def newton_step_dp(
             delta = damping
         coeff = -gamma_mean / (lambda_mean + delta)  # [K]
         step_flat = e_par @ coeff  # [D_g], replicated
-        return evals_sel, step_flat
+        return evals_sel, step_flat, eig_info
 
     def per_shard(params, X_l, y_l, key):
         with jax.default_matmul_precision(precision):
@@ -682,13 +744,14 @@ def newton_step_dp(
                 g_local = _flatten_vt(g_group, paths)
                 out.append(group_block(vt, g_local, paths, ids, n_local,
                                        n_global, dev))
-            return tuple(e for e, _ in out), tuple(s for _, s in out)
+            return (tuple(e for e, _, _ in out), tuple(s for _, s, _ in out),
+                    tuple(i for _, _, i in out))
 
     shard_fn = jax.shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
 
@@ -702,13 +765,15 @@ def newton_step_dp(
         return out
 
     def fn(params, X, y, key=None):
-        evals, steps = shard_fn(params, X, y, key)
+        evals, steps, info = shard_fn(params, X, y, key)
         if group_paths is None:
-            return evals, unravel_like(steps, params)
-        return evals, tuple(
-            unravel_block(s, params, tuple(paths))
-            for s, paths in zip(steps, group_paths)
-        )
+            out = (evals, unravel_like(steps, params))
+        else:
+            out = (evals, tuple(
+                unravel_block(s, params, tuple(paths))
+                for s, paths in zip(steps, group_paths)
+            ))
+        return (*out, info) if return_eig_info else out
 
     return jax.jit(fn)
 

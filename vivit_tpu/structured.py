@@ -402,6 +402,7 @@ def eigvalsh_structured(
     deflate_ce_null: bool = False,
     engine: str = "tapped",
     conv_vt_dtype: Optional[Any] = None,
+    return_eig_info: bool = False,
 ):
     """GGN eigenvalues with the Dense fast path (jittable, flax models).
 
@@ -413,6 +414,12 @@ def eigvalsh_structured(
     ``(C−1)·S`` via the exact CE null structure (:mod:`vivit_tpu.deflate`)
     — 0.73× the eigensolver cost at C=10, with the ``S`` structural zeros
     returned exactly.  Exact CrossEntropy only.
+
+    ``return_eig_info``: return ``(evals_per_group, infos_per_group)``
+    where each info is the eigensolver's in-band runtime-guard dict
+    (:func:`vivit_tpu.eig.full_eigh`) — the on-TPU signal that the
+    ``eig_backend="dc"`` guard fell back to XLA (host callbacks are
+    unavailable on the axon tunneled platform).
     """
     from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
@@ -445,15 +452,18 @@ def eigvalsh_structured(
             zeros = jnp.zeros((s,), jnp.float32)
 
             def solve(gram):
-                evals_d, _ = full_eigh(gram, backend=eig_backend,
-                                       eigenvectors=False)
-                return jnp.sort(jnp.concatenate([zeros, evals_d]))
+                evals_d, _, info = full_eigh(gram, backend=eig_backend,
+                                             eigenvectors=False,
+                                             return_info=True)
+                return jnp.sort(jnp.concatenate([zeros, evals_d])), info
         else:
             def solve(gram):
-                return full_eigh(gram, backend=eig_backend,
-                                 eigenvectors=False)[0]
+                evals, _, info = full_eigh(gram, backend=eig_backend,
+                                           eigenvectors=False,
+                                           return_info=True)
+                return evals, info
 
-        return tuple(
+        solved = tuple(
             solve(
                 gram_matrix_mixed(
                     vt, paths, generic_precision=_PRECISIONS[gram_precision]
@@ -461,3 +471,7 @@ def eigvalsh_structured(
             )
             for paths in group_paths
         )
+        evals = tuple(ev for ev, _ in solved)
+        if return_eig_info:
+            return evals, tuple(info for _, info in solved)
+        return evals
