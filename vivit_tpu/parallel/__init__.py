@@ -1002,3 +1002,10 @@ def train_step_dp(
         return new_params, evals
 
     return step
+
+
+# streamed × DP composition (imports back from this module, so keep last)
+from vivit_tpu.parallel.streamed import (  # noqa: E402
+    eigvalsh_streamed_dp,
+    gram_streamed_shard,
+)

@@ -1,0 +1,235 @@
+"""Streamed × data-parallel composition: factor streaming inside shard_map.
+
+Single-chip factor streaming (:mod:`vivit_tpu.chunked`) caps peak memory at
+two ``[S, D]`` factor slices; the DP pipelines (:mod:`vivit_tpu.parallel`)
+shard the batch but materialize the full per-shard ``Vᵀ [CF, S_local, D]``.
+This module composes the two: a *global* batch whose per-shard ``Vᵀ`` still
+exceeds HBM streams the factor axis per chip, and the global Gram is
+assembled block-by-block over ICI.  Reference memory strategy — incremental
+savefield freeing during the hook backward — applies to every pipeline
+(vivit/utils/__init__.py:8-19); this is its multi-chip equivalent.
+
+Communication design (per factor slice, scaling-book style):
+
+1. chip ``d`` computes its local slice ``V_iᵀ[d] = [S_local, D]`` with one
+   batched vjp,
+2. ``all_to_all`` reshards it to ``[S_global, D/k]`` — the resharded slice
+   has the SAME per-chip footprint as the local one (``S_local · D``
+   elements), so streaming's two-live-slices memory bound is preserved,
+3. each factor pair ``(i, j ≤ i)`` contracts one partial ``[S_g, S_g]``
+   block on the MXU,
+4. one ``psum`` at the end reduces the assembled ``[CF·S_g, CF·S_g]`` Gram.
+
+Cost: ``CF + CF·(CF−1)/2`` backward-pass streams *per chip over the local
+shard only* (a k× speedup of the streaming compute trade) plus the same
+count of ``[S_local·D]`` all_to_alls.  Global Gram column order is
+``(cf, device, local_sample)`` — a permutation of both the single-chip
+streamed ``(cf, sample)`` and the materialized-DP ``(device, cf, sample)``
+orders; eigenvalues are permutation invariant.
+"""
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vivit_tpu.ggn import v_factors
+from vivit_tpu.losses import Loss
+from vivit_tpu.parallel import DEFAULT_AXIS, _dp_column_scale
+from vivit_tpu.utils.checks import check_subsampling_unique
+from vivit_tpu.utils.tree import select_paths
+
+
+def _vt_slice_flat(model_fn, params, X_l, s_rows, paths):
+    """One factor's local ``Vᵀ`` slice, flattened to ``[S_local, D_group]``.
+
+    ``s_rows``: ``[S_local, C]`` scaled loss-factor rows for this factor.
+    """
+
+    def vt_column(x_n, s_row):
+        _, vjp_fn = jax.vjp(lambda p: model_fn(p, x_n[None])[0], params)
+        return vjp_fn(s_row)[0]
+
+    vt = jax.vmap(vt_column)(X_l, s_rows)
+    leaves = [
+        jnp.reshape(leaf, (leaf.shape[0], -1))
+        for _, leaf in select_paths(vt, paths)
+    ]
+    return jnp.concatenate(leaves, axis=1)
+
+
+def _reshard_cols(v_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """``[S_local, D] → [S_global, D/k]``: split D over chips, gather samples."""
+    k = jax.lax.axis_size(axis_name)
+    pad = (-v_local.shape[1]) % k
+    if pad:
+        v_local = jnp.pad(v_local, ((0, 0), (0, pad)))
+    return jax.lax.all_to_all(
+        v_local, axis_name, split_axis=1, concat_axis=0, tiled=True
+    )
+
+
+def gram_streamed_shard(
+    model_fn,
+    loss: Loss,
+    params,
+    X_l: jnp.ndarray,
+    y_l: jnp.ndarray,
+    *,
+    axis_name: str = DEFAULT_AXIS,
+    paths: Sequence[str],
+    subsampling: Optional[Sequence[int]] = None,
+    mc_samples: int = 0,
+    key: Optional[jax.Array] = None,
+    precision=None,
+    deflate_ce_null: bool = False,
+) -> jnp.ndarray:
+    """Global ``[CF·S_g, CF·S_g]`` Gram, factor-streamed per shard.
+
+    Call INSIDE ``shard_map`` (``X_l, y_l`` are this chip's batch shard).
+    Peak per-chip memory is two resharded ``[S_global, D/k]`` factor slices
+    (= two local ``[S_local, D]`` slices) instead of the materialized
+    ``[CF, S_local, D]``.  Scaling/masking semantics match
+    :func:`vivit_tpu.parallel.eigvalsh_dp` (``√ρ(N_global)`` columns,
+    zero-masked non-selected samples under global-index ``subsampling``);
+    ``deflate_ce_null`` applies the shard-local factor-level projection, so
+    the stream shortens to ``CF−1`` slices and the Gram (and the
+    collectives) shrink ``((C−1)/C)²``.
+    """
+    n_local = X_l.shape[0]
+    k = jax.lax.axis_size(axis_name)
+    n_global = n_local * k
+    ids = jax.lax.axis_index(axis_name) * n_local + jnp.arange(n_local)
+    scale, mask = _dp_column_scale(loss, n_global, subsampling, ids)
+
+    f = model_fn(params, X_l)
+    factors = v_factors(
+        loss, f, y_l, batch_size=n_global, mc_samples=mc_samples, key=key,
+        sample_ids=ids, column_scale=scale,
+        deflate_ce_null=deflate_ce_null,
+    )  # [S_local, CF', C]
+    if mask is not None:
+        factors = factors * mask[:, None, None]
+
+    cf = factors.shape[1]
+    s_g = n_global
+    gram = jnp.zeros((cf * s_g, cf * s_g), jnp.float32)
+
+    def slice_rs(i):
+        return _reshard_cols(
+            _vt_slice_flat(model_fn, params, X_l, factors[:, i], paths),
+            axis_name,
+        )
+
+    # Both loops unrolled: CF is small (classes / MC samples) and every
+    # iteration carries an all_to_all — collectives inside lax.cond branches
+    # don't lower reliably under SPMD, so the single-chip scan-with-skip
+    # (vivit_tpu.chunked) is traded for straight-line pairs here.  XLA
+    # liveness keeps exactly two resharded slices alive (vt_i + loop-local
+    # vt_j), preserving the streaming memory bound.
+    for i in range(cf):
+        vt_i = slice_rs(i)
+        for j in range(i + 1):
+            vt_j = vt_i if j == i else slice_rs(j)
+            block = jnp.dot(
+                vt_i, vt_j.T,
+                precision=precision, preferred_element_type=jnp.float32,
+            )
+            gram = jax.lax.dynamic_update_slice(gram, block, (i * s_g, j * s_g))
+            if j < i:
+                gram = jax.lax.dynamic_update_slice(
+                    gram, block.T, (j * s_g, i * s_g)
+                )
+    return jax.lax.psum(gram, axis_name)
+
+
+def eigvalsh_streamed_dp(
+    model_fn,
+    loss: Loss,
+    mesh: Mesh,
+    *,
+    mc_samples: int = 0,
+    axis_name: str = DEFAULT_AXIS,
+    precision: str = "highest",
+    gram_precision: Optional[str] = None,
+    group_paths: Optional[Sequence[Sequence[str]]] = None,
+    subsampling: Optional[Sequence[int]] = None,
+    eig_backend: str = "xla",
+    deflate_ce_null: bool = False,
+    return_eig_info: bool = False,
+) -> Callable:
+    """Build a jitted data-parallel GGN eigenvalue function, streaming memory.
+
+    Same results as :func:`vivit_tpu.parallel.eigvalsh_dp` (and the
+    single-chip :func:`vivit_tpu.chunked.eigvalsh_streamed` on the global
+    batch) for global batches whose *per-shard* ``Vᵀ`` exceeds HBM — e.g.
+    CIFAR-10 3c3d at ``N_global = 1024`` on 8 chips is ~4.4 GB per shard
+    materialized; streamed it is two ~0.5 GB slices.
+
+    All :func:`vivit_tpu.parallel.eigvalsh_dp` knobs carry over:
+    ``group_paths`` (block-diagonal groups, one streamed Gram each),
+    global-index ``subsampling`` (zero-masked columns), ``mc_samples``
+    (global-id PRNG folding — chip-layout invariant), ``eig_backend="dc"``,
+    shard-local ``deflate_ce_null``, and ``return_eig_info`` (the in-band
+    runtime-guard dict, one per group).
+    """
+    from vivit_tpu.eig import full_eigh
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+    from vivit_tpu.utils.tree import leaf_paths
+
+    check_subsampling_unique(subsampling)
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples)
+
+    def per_shard(params, X_l, y_l, key):
+        with jax.default_matmul_precision(precision):
+            n_global = X_l.shape[0] * jax.lax.axis_size(axis_name)
+            groups = (
+                (tuple(leaf_paths(params)),) if group_paths is None
+                else tuple(tuple(p) for p in group_paths)
+            )
+
+            if deflate_ce_null:
+                zeros = jnp.zeros((n_global,), jnp.float32)
+
+                def solve(gram):
+                    evals_d, _, info = full_eigh(
+                        gram, backend=eig_backend, eigenvectors=False,
+                        return_info=True,
+                    )
+                    return jnp.sort(jnp.concatenate([zeros, evals_d])), info
+            else:
+                def solve(gram):
+                    evals, _, info = full_eigh(
+                        gram, backend=eig_backend, eigenvectors=False,
+                        return_info=True,
+                    )
+                    return evals, info
+
+            solved = tuple(
+                solve(gram_streamed_shard(
+                    model_fn, loss, params, X_l, y_l,
+                    axis_name=axis_name, paths=paths,
+                    subsampling=subsampling, mc_samples=mc_samples, key=key,
+                    precision=_PRECISIONS[gram_precision],
+                    deflate_ce_null=deflate_ce_null,
+                ))
+                for paths in groups
+            )
+            evs = tuple(ev for ev, _ in solved)
+            infos = tuple(info for _, info in solved)
+            if group_paths is None:
+                return (evs[0], infos[0]) if return_eig_info else evs[0]
+            return (evs, infos) if return_eig_info else evs
+
+    shard_fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
