@@ -228,3 +228,28 @@ def test_operator_accepts_one_shot_iterator():
     g, l = gradient_and_loss(model_fn, loss, params,
                              (batch for batch in data))
     assert float(l) > 0.0
+
+
+@pytest.mark.parametrize("kind", ["ggn", "hessian"])
+def test_host_stream_matches_on_device(kind):
+    """`host_stream=True` (beyond-HBM mode: host-resident batches streamed
+    per matvec) must match the fused on-device operator exactly — same
+    normalization, ragged batches included."""
+    model_fn, params, data, loss = _setup("mean")
+    data.append((data[0][0][:2], data[0][1][:2]))  # ragged tail
+    build = ggn_operator if kind == "ggn" else hessian_operator
+    op_dev = build(model_fn, loss, params, data)
+    op_host = build(model_fn, loss, params, data, host_stream=True)
+    rng = np.random.default_rng(5)
+    for _ in range(2):
+        v = jnp.asarray(rng.normal(size=(num_params(params),)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(op_host(v)), np.asarray(op_dev(v)),
+            rtol=1e-5, atol=1e-7,
+        )
+    # the scipy wrapper takes the knob too
+    lo = GGNLinearOperator(model_fn, loss, params, data, host_stream=True)
+    v = rng.normal(size=(num_params(params),)).astype(np.float32)
+    got = lo @ v
+    want = GGNLinearOperator(model_fn, loss, params, data) @ v
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)

@@ -13,6 +13,17 @@ TPU-native redesign of the reference hessianfree module
   .LinearOperator`` instances for ``eigsh``/ARPACK workflows, matching the
   reference surface including the determinism self-check
   (reference :91-134) and mean/sum dataset normalization (:254-277).
+
+**Dataset residency ceiling.** The default on-device path stages the whole
+dataset as HBM-resident stacked arrays: its bound is ``dataset bytes +
+2 × model bytes + one batch of activations ≤ HBM`` (CIFAR-10 f32 is
+~590 MB — fine on a 16 GB v5e; ImageNet-224 f32 at ~580 GB is not).  The
+reference's host loader loop (vivit/hessianfree/__init__.py:218-231) has no
+such ceiling; for datasets beyond HBM pass ``host_stream=True`` — batches
+then stay in host memory and each matvec streams them host→device one at a
+time through a per-batch jitted product (peak device memory: one batch +
+two flat vectors), trading the fused-``lax.scan`` dispatch for per-batch
+transfers exactly like the reference's loop.
 """
 
 from typing import Any, Callable, Iterable, List, Optional, Tuple
@@ -57,14 +68,49 @@ def _group_by_batch_size(data):
     return groups
 
 
-def _make_operator(model_fn, loss, params, data, product_fn) -> Callable:
+def _make_host_stream_operator(model_fn, loss, params, data,
+                               product_fn) -> Callable:
+    """Host-streaming curvature-vector product for datasets beyond HBM.
+
+    Batches stay in host memory (numpy); each matvec streams them
+    host→device one at a time through a per-batch-shape jitted product.
+    Same normalization and results as the on-device path; peak device
+    memory is one batch + two flat vectors (the reference's loader-loop
+    memory profile, vivit/hessianfree/__init__.py:218-231).
+    """
+    data = [(np.asarray(X), np.asarray(y)) for X, y in data]
+    n_data = sum(X.shape[0] for X, _ in data)
+
+    @jax.jit
+    def step(acc, flat_v, X, y, w):
+        v = unravel_like(flat_v, params)
+        gv = product_fn(model_fn, loss, params, X, y, v)
+        return acc + w * ravel(gv)
+
+    def matvec(flat_v: jnp.ndarray) -> jnp.ndarray:
+        flat_v = jnp.asarray(flat_v, jnp.float32)
+        acc = jnp.zeros_like(flat_v)
+        for X, y in data:
+            w = _batch_weights(loss, [X.shape[0]], n_data)[0]
+            acc = step(acc, flat_v, jnp.asarray(X), jnp.asarray(y), w)
+        return acc
+
+    return matvec
+
+
+def _make_operator(model_fn, loss, params, data, product_fn,
+                   host_stream: bool = False) -> Callable:
     """Jitted dataset-wide curvature-vector product on flat vectors.
 
     Each distinct batch size gets its own ``lax.scan`` (exact ragged-batch
     handling, no padding); contributions are summed with the reference's
-    dataset normalization.
+    dataset normalization.  ``host_stream`` switches to the beyond-HBM
+    host-resident path (module docstring: dataset residency ceiling).
     """
     data = list(data)  # one-shot iterators would be exhausted mid-setup
+    if host_stream:
+        return _make_host_stream_operator(model_fn, loss, params, data,
+                                          product_fn)
     n_data = sum(X.shape[0] for X, _ in data)
     scans = []
     for size, group in _group_by_batch_size(data).items():
@@ -89,14 +135,25 @@ def _make_operator(model_fn, loss, params, data, product_fn) -> Callable:
     return matvec
 
 
-def ggn_operator(model_fn, loss: Loss, params: Any, data) -> Callable:
-    """On-device GGN matvec ``flat_v -> G @ flat_v`` over the dataset (jitted)."""
-    return _make_operator(model_fn, loss, params, data, ggn_vector_product)
+def ggn_operator(model_fn, loss: Loss, params: Any, data,
+                 host_stream: bool = False) -> Callable:
+    """On-device GGN matvec ``flat_v -> G @ flat_v`` over the dataset (jitted).
+
+    ``host_stream=True``: batches stay host-resident and stream per matvec —
+    use when the stacked dataset exceeds HBM (module docstring).
+    """
+    return _make_operator(model_fn, loss, params, data, ggn_vector_product,
+                          host_stream)
 
 
-def hessian_operator(model_fn, loss: Loss, params: Any, data) -> Callable:
-    """On-device Hessian matvec over the dataset (jitted)."""
-    return _make_operator(model_fn, loss, params, data, hessian_vector_product)
+def hessian_operator(model_fn, loss: Loss, params: Any, data,
+                     host_stream: bool = False) -> Callable:
+    """On-device Hessian matvec over the dataset (jitted).
+
+    ``host_stream=True``: beyond-HBM datasets (see :func:`ggn_operator`).
+    """
+    return _make_operator(model_fn, loss, params, data,
+                          hessian_vector_product, host_stream)
 
 
 def gradient_and_loss(model_fn, loss: Loss, params: Any, data):
@@ -148,6 +205,7 @@ class _LinearOperator:
         dtype=np.float32,
         progressbar: bool = False,
         check_deterministic: bool = True,
+        host_stream: bool = False,
     ):
         # ``progressbar`` is accepted for reference-API compatibility
         # (vivit/hessianfree/__init__.py:224-231) but has nothing to show:
@@ -162,7 +220,8 @@ class _LinearOperator:
         self.shape = (dim, dim)
         self.dtype = np.dtype(dtype)
         self._matvec_fn = _make_operator(
-            model_fn, loss, params, self._data, type(self)._product_fn
+            model_fn, loss, params, self._data, type(self)._product_fn,
+            host_stream,
         )
         if check_deterministic:
             self._check_deterministic()
