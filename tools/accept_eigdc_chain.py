@@ -1,0 +1,96 @@
+"""f64 acceptance ladder for chain-path (n < strip) evals-mode polish configs.
+
+Round-3d validated the DM-free polish (the second-order scalar mop-up doing
+the DM iterations' eigenvalue work) on the STRIP path only; the chain path
+kept the heavier (2,2,1)/ns6/dmns2 polish.  This ladder decides whether the
+lean polish is safe as the chain-path evals default (the round-4 headline
+eigh attack): every leg is checked against a float64 LAPACK oracle at the
+reference eigenvalue bar (rtol=1e-4, atol=5e-6·max(1, λmax), the sweep
+convention) with guard=None so nothing hides behind the fallback.
+
+Legs:
+  * the real deflated bench Gram (1152², the headline eigensolve),
+  * the real undeflated bench Gram (1280²),
+  * synthetic 5-decade exp-decay GGN-like spectra at 1152 (4 seeds — the
+    spectrum class that needed the mop-up on the strip path),
+  * a clustered spectrum (8-fold degeneracies) — the solver's documented
+    weak regime; violations here are EXPECTED to trip the runtime guard in
+    production, so this leg reports but does not gate.
+
+Usage: ``python tools/accept_eigdc_chain.py --gram1152 /tmp/gram1152.npy
+[--gram1280 /tmp/gram1280.npy]``
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RTOL, ATOL = 1e-4, 5e-6
+
+CONFIGS = {
+    "default(2,2,1)/ns6/dmns2": {},
+    "dm=(1,1,0),ns5": {"dm_iters": (1, 1, 0), "ns_global": 5},
+    "dm=(0,0,0),ns4,dmns1": {"dm_iters": (0, 0, 0), "ns_global": 4,
+                             "dm_ns": 1},
+}
+
+
+def _spectrum_matrix(lam, seed):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((len(lam), len(lam))))
+    return ((Q * lam) @ Q.T).astype(np.float32)
+
+
+def _check(name, A, fns):
+    ref = np.linalg.eigvalsh(A.astype(np.float64))
+    tol = ATOL * max(1.0, abs(ref[-1])) + RTOL * np.abs(ref)
+    Ad = jnp.asarray(A)
+    for cfg_name, fn in fns.items():
+        ev = np.sort(np.asarray(fn(Ad)))
+        err = np.abs(ev - ref)
+        viol = int((err > tol).sum())
+        ratio = float((err / tol).max())
+        print(f"{name:28s} {cfg_name:26s} viol {viol:4d}/{len(ref)}"
+              f"  max err/tol {ratio:.3f}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gram1152", type=str, default="/tmp/gram1152.npy")
+    ap.add_argument("--gram1280", type=str, default=None)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+
+    from vivit_tpu.eigdc import eigvalsh_dc
+
+    fns = {
+        name: jax.jit(lambda M, kw=kw: eigvalsh_dc(M, guard=None, **kw))
+        for name, kw in CONFIGS.items()
+    }
+
+    if os.path.exists(args.gram1152):
+        _check("real-deflated-1152", np.load(args.gram1152), fns)
+    if args.gram1280 and os.path.exists(args.gram1280):
+        _check("real-1280", np.load(args.gram1280), fns)
+
+    n = 1152
+    for seed in range(4):
+        lam = np.exp(-np.linspace(0, 11, n)) * 250.0 + 1e-7
+        _check(f"exp-decay-{n}-s{seed}", _spectrum_matrix(lam, seed), fns)
+
+    # non-gating weak-regime leg: wide exact degeneracies
+    lam = np.repeat(np.exp(-np.arange(n // 8) / 10.0), 8)
+    _check("degenerate-8x (non-gating)", _spectrum_matrix(lam, 0), fns)
+
+
+if __name__ == "__main__":
+    main()

@@ -773,14 +773,27 @@ def eigh_dc(
         # Rejected by the ladder regardless of polish: sign_iters_root
         # (7,3) (real 1920: 16-17 violations at 10.5), non-root sign
         # (7,3) (8.6 at 4608), orth (6,2) (383 violations at 2.9).
-        if strip_on:
-            dm_iters = (2, 1, 1) if eigenvectors else (0, 0, 0)
+        # Round 4 extends the DM-free evals default to the CHAIN path
+        # (n < strip): its own f64 ladder (tools/accept_eigdc_chain.py —
+        # real deflated 1152 + real 1280 + exp-decay seeds + degenerate
+        # 8x, guard=None) is clean at max err/tol ≤ 0.043, and the lean
+        # polish even beats (2,2,1)/ns6 on the degenerate leg (0.032 vs
+        # 0.177).  Measured on the real 1152 Gram: 66.4 → 62.2 ms
+        # single-shot (~4 ms off the headline eigensolve).
+        if eigenvectors:
+            dm_iters = (2, 1, 1) if strip_on else (2, 2, 1)
         else:
-            dm_iters = (2, 2, 1)
+            dm_iters = (0, 0, 0)
     if ns_global is None:
-        ns_global = (5 if eigenvectors else 4) if strip_on else 6
+        if eigenvectors:
+            ns_global = 5 if strip_on else 6
+        else:
+            ns_global = 4
     if dm_ns is None:
-        dm_ns = 1 if strip_on else 2
+        if eigenvectors:
+            dm_ns = 1 if strip_on else 2
+        else:
+            dm_ns = 1
 
     # basis_prec="high" demotes the basis-stage matmuls (de-skew squarings,
     # sign/orth NS polish, subtree compressions) to bf16_3x.  MEASURED ON
