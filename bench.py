@@ -133,7 +133,24 @@ def measure_vivit_tpu(n, repeats):
     )
     ms, evals = _time_amortized(fn, (variables, X, y), repeats)
     single_ms, _ = _time_fetch(fn, (variables, X, y), repeats)
-    return ms, single_ms, evals
+
+    # in-band guard observability (host callbacks don't work on axon): the
+    # headline figure is only honest if the dc fast path actually engaged —
+    # a tripped guard silently pays for BOTH solvers.
+    (_, (info,)) = jax.jit(
+        lambda v, X, y: eigvalsh_structured(
+            module, v, loss, X, y,
+            precision="highest", gram_precision="bf16", eig_backend="dc",
+            deflate_ce_null=True, return_eig_info=True,
+        )
+    )(variables, X, y)
+    tripped = bool(np.asarray(info["tripped"]))
+    assert not tripped, (
+        f"eigdc guard TRIPPED on the headline Gram (bound "
+        f"{float(np.asarray(info['bound'])):.2e}) — the recorded time "
+        "includes a hidden XLA fallback"
+    )
+    return ms, single_ms, evals, tripped
 
 
 def measure_secondary(repeats):
@@ -154,10 +171,18 @@ def measure_secondary(repeats):
 
     X_np, y_np = _synthetic_batch(128)
     X, y = jnp.asarray(X_np), jnp.asarray(y_np)
+    # solver decision (round 4, tools/sweep_newton_solver.py on the chip,
+    # amortized): eigh 95.4 / eigh+deflate 82.6 / lobpcg 32.8 /
+    # lobpcg+deflate 33.1 / dc 86.3 / dc+deflate 75.5 ms.  lobpcg wins by
+    # ~2.5x (k=10 of 1280 is exactly its regime); deflation costs +0.3 ms
+    # and halves the step deviation vs the full-eigh oracle (7.7e-4 vs
+    # 1.6e-3 — the deflated Gram drops the structural zeros lobpcg
+    # otherwise has to converge around), so lobpcg+deflate is the pin.
     newton = jax.jit(
         lambda v, X, y: newton_step_structured(
             module, v, loss, X, y, k=10, damping=1.0,
             precision="highest", gram_precision="bf16", solver="lobpcg",
+            deflate_ce_null=True,
         )[-1]  # fetch one (small) leaf as the completion barrier
     )
     out["newton_step_k10_cifar10_3c3d_n128"], _ = _time_amortized(
@@ -184,6 +209,19 @@ def measure_secondary(repeats):
     out["gram_build_eigh_cifar10_3c3d_n512"], _ = _time_amortized(
         big, (variables, X, y), max(3, repeats // 3), chain=3
     )
+    # guard observability on the strip-path leg (4608² deflated Gram)
+    (_, (info,)) = jax.jit(
+        lambda v, X, y: eigvalsh_structured(
+            module, v, loss, X, y,
+            precision="highest", gram_precision="bf16", eig_backend="dc",
+            deflate_ce_null=True, return_eig_info=True,
+        )
+    )(variables, X, y)
+    assert not bool(np.asarray(info["tripped"])), (
+        "eigdc guard TRIPPED on the N=512 Gram — the recorded time includes "
+        "a hidden XLA fallback"
+    )
+    out["eigdc_guard_tripped_n512"] = 0.0
     return out
 
 
@@ -243,6 +281,40 @@ def torch_params_to_flax(model):
     }
 
 
+def _torch_gram_evals(model, X, n):
+    """One torch Gram+eigh step: per-sample jacrev → ``Vᵀ`` → eigvalsh.
+
+    Runs in whatever dtype ``model``/``X`` carry (f32 for the timed
+    baseline, f64 for the parity oracle).
+    """
+    import torch
+    from torch.func import functional_call, jacrev, vmap
+
+    params = dict(model.named_parameters())
+
+    def single_out(p, x):
+        return functional_call(model, p, (x.unsqueeze(0),)).squeeze(0)
+
+    with torch.no_grad():
+        f = functional_call(model, params, (X,))
+        p_soft = torch.softmax(f, dim=1)
+    # per-sample Jacobians [N, C, D_leaf]
+    J = vmap(jacrev(single_out), in_dims=(None, 0))(params, X)
+    # Vᵀ = sqrt-Hessian rows applied to J, scaled by 1/√N (mean reduction)
+    sqrtp = torch.sqrt(p_soft)
+    S = sqrtp.unsqueeze(2) * (
+        torch.eye(NUM_CLASSES, dtype=X.dtype).unsqueeze(0)
+        - p_soft.unsqueeze(1)
+    )  # [N, C, C]
+    gram = 0.0
+    for leaf in J.values():
+        Jl = leaf.flatten(2)  # [N, C, D_l]
+        Vl = torch.einsum("nck,nkd->ncd", S, Jl) / np.sqrt(n)
+        Vf = Vl.permute(1, 0, 2).reshape(NUM_CLASSES * n, -1)
+        gram = gram + Vf @ Vf.T
+    return torch.linalg.eigvalsh(gram)
+
+
 def measure_torch_cpu(n, repeats=2):
     """Same computation in PyTorch on CPU via torch.func (functorch-style).
 
@@ -250,43 +322,36 @@ def measure_torch_cpu(n, repeats=2):
     caller can measure cross-framework eigenvalue parity on identical weights.
     """
     import torch
-    from torch.func import functional_call, jacrev, vmap
 
     model = _torch_model()
-    params = dict(model.named_parameters())
-    X_np, y_np = _synthetic_batch(n)
+    X_np, _ = _synthetic_batch(n)
     X = torch.tensor(X_np).permute(0, 3, 1, 2).contiguous()
 
-    def single_out(p, x):
-        return functional_call(model, p, (x.unsqueeze(0),)).squeeze(0)
-
-    def step():
-        with torch.no_grad():
-            f = functional_call(model, params, (X,))
-            p_soft = torch.softmax(f, dim=1)
-        # per-sample Jacobians [N, C, D_leaf]
-        J = vmap(jacrev(single_out), in_dims=(None, 0))(params, X)
-        # Vᵀ = sqrt-Hessian rows applied to J, scaled by 1/√N (mean reduction)
-        sqrtp = torch.sqrt(p_soft)
-        S = sqrtp.unsqueeze(2) * (
-            torch.eye(NUM_CLASSES).unsqueeze(0) - p_soft.unsqueeze(1)
-        )  # [N, C, C]
-        gram = 0.0
-        for leaf in J.values():
-            Jl = leaf.flatten(2)  # [N, C, D_l]
-            Vl = torch.einsum("nck,nkd->ncd", S, Jl) / np.sqrt(n)
-            Vf = Vl.permute(1, 0, 2).reshape(NUM_CLASSES * n, -1)
-            gram = gram + Vf @ Vf.T
-        return torch.linalg.eigvalsh(gram)
-
-    evals = step()  # warmup
+    evals = _torch_gram_evals(model, X, n)  # warmup
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        evals = step()
+        evals = _torch_gram_evals(model, X, n)
         times.append(time.perf_counter() - t0)
     return (float(np.median(times) * 1000), evals.detach().numpy(),
             torch_params_to_flax(model))
+
+
+def torch_oracle_f64(n):
+    """f64 torch eigenvalue oracle on the bench weights (not timed).
+
+    The parity bar is ≤1e-5 relative on the top eigenvalues (BASELINE.md);
+    comparing two f32 pipelines confounds OUR error with the oracle's own
+    f32 eigensolver noise, so the recorded parity-grade figure uses an
+    f64 torch reference (same seed-0 weights — ``_torch_model`` is
+    deterministic).
+    """
+    import torch
+
+    model = _torch_model().double()
+    X_np, _ = _synthetic_batch(n)
+    X = torch.tensor(X_np, dtype=torch.float64).permute(0, 3, 1, 2).contiguous()
+    return _torch_gram_evals(model, X, n).detach().numpy()
 
 
 def main():
@@ -298,11 +363,14 @@ def main():
     ap.add_argument("--skip-secondary", action="store_true")
     args = ap.parse_args()
 
-    ours_ms, single_ms, evals = measure_vivit_tpu(args.batch, args.repeats)
+    ours_ms, single_ms, evals, tripped = measure_vivit_tpu(
+        args.batch, args.repeats
+    )
     rtt_ms = _measure_rtt()
 
     extras = {"tunnel_rtt": rtt_ms, "headline_single_shot": single_ms,
-              "single_shot_net_of_rtt": single_ms - rtt_ms}
+              "single_shot_net_of_rtt": single_ms - rtt_ms,
+              "eigdc_guard_tripped": float(tripped)}
     if not args.skip_secondary:
         try:
             extras.update(measure_secondary(args.repeats))
@@ -349,7 +417,33 @@ def main():
                         / np.abs(np.sort(torch_evals)[-top:])
                     )
                 )
-                cache[cache_key] = {"ms": torch_ms, "top20_eigval_rel_err": parity}
+                # parity-grade figure (VERDICT r3 #2): full-f32 Gram, XLA
+                # eigh, no deflation, vs the f64 torch oracle — the literal
+                # ≤1e-5 bar without the f32 oracle's own eigensolver noise
+                oracle = np.sort(torch_oracle_f64(args.batch))[-top:]
+                (pg_evals,) = jax.jit(
+                    lambda v, X, y: eigvalsh_structured(
+                        module, v, vt.CrossEntropyLoss("mean"), X, y,
+                        precision="highest",
+                    )
+                )({"params": flax_params}, jnp.asarray(X_np),
+                  jnp.asarray(y_np))
+                pg = float(np.max(np.abs(
+                    np.asarray(pg_evals)[-top:] - oracle) / np.abs(oracle)))
+                hl = float(np.max(np.abs(
+                    np.asarray(ours_evals)[-top:] - oracle) / np.abs(oracle)))
+                cache[cache_key] = {
+                    "ms": torch_ms,
+                    "top20_eigval_rel_err": parity,
+                    "top20_rel_err_parity_grade_vs_f64_oracle": pg,
+                    "top20_rel_err_headline_cfg_vs_f64_oracle": hl,
+                    "note": "torch.func jacrev Gram+eigh, 1-core CPU; "
+                            "parity_grade = full-f32 structured pipeline "
+                            "(no bf16, no dc, no deflation) vs f64 torch "
+                            "oracle on identical weights; headline_cfg = "
+                            "the bf16-conv-Gram+dc+deflation bench config "
+                            "vs the same oracle",
+                }
                 with open(BASELINE_CACHE, "w") as f:
                     json.dump(cache, f, indent=1)
             except Exception as e:  # torch missing / OOM — report ours alone

@@ -1,0 +1,96 @@
+"""Newton k=10 solver decision sweep: eigh vs lobpcg vs dc × deflation.
+
+VERDICT r3 #3 (round-2 weak #7): the bench pinned ``solver="lobpcg"`` with
+no recorded dc-vs-lobpcg measurement on the k=10 path, and deflation shrinks
+the lobpcg iterate count (C−1)/C — also unmeasured.  This sweep times the
+full fused ``newton_step_structured`` (N=128, k=10, bench config) for every
+(solver, deflate) combination on the current default device and prints a
+decision table; the winner goes into bench.py and docs/design.md.
+
+Usage: ``python tools/sweep_newton_solver.py [--batch 128] [--repeats 10]``
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--lobpcg-iters", type=int, default=100)
+    args = ap.parse_args()
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+
+    import vivit_tpu as vt
+    from vivit_tpu.models import CNN3c3d
+    from vivit_tpu.structured import newton_step_structured
+
+    module = CNN3c3d(10)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.ones((1, 32, 32, 3), jnp.float32))
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(args.batch, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, size=(args.batch,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+
+    combos = [
+        ("eigh", False), ("eigh", True),
+        ("lobpcg", False), ("lobpcg", True),
+        ("dc", False), ("dc", True),
+    ]
+    results = {}
+    ref_step = None
+    for solver, deflate in combos:
+        label = f"{solver}{'+deflate' if deflate else ''}"
+        fn = jax.jit(
+            lambda v, X, y, s=solver, d=deflate: newton_step_structured(
+                module, v, loss, X, y, k=args.k, damping=1.0,
+                precision="highest", gram_precision="bf16",
+                solver=s, lobpcg_iters=args.lobpcg_iters,
+                deflate_ce_null=d,
+            )[-1]
+        )
+        try:
+            out = np.asarray(fn(variables, X, y))  # compile
+        except Exception as e:
+            print(f"{label:16s}  FAILED: {e}")
+            continue
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                r = fn(variables, X, y)
+            out = np.asarray(r)
+            times.append((time.perf_counter() - t0) / 8)
+        ms = float(np.median(times) * 1000)
+        if ref_step is None:
+            ref_step = out
+            dev = 0.0
+        else:
+            dev = float(np.max(np.abs(out - ref_step))
+                        / max(np.max(np.abs(ref_step)), 1e-30))
+        results[label] = (ms, dev)
+        print(f"{label:16s}  {ms:8.1f} ms   step max rel dev vs "
+              f"{combos[0][0]}: {dev:.2e}", flush=True)
+
+    best = min(results.items(), key=lambda kv: kv[1][0])
+    print(f"\nwinner: {best[0]} at {best[1][0]:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
