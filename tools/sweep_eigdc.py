@@ -66,6 +66,18 @@ CONFIGS = {
     "strip@n": {"strip": 1024},
     "strip@n,ns5": {"strip": 1024, "ns_global": 5},
     "strip@n,base256": {"strip": 1024, "base": 256},
+    # round-4b chain-path time attack (headline 1152): the lean polish
+    # holds accuracy, so the remaining levers are the *sequential* chain
+    # structure itself — fewer/wider zoom links (base↑, chain↓), lighter
+    # per-link sign/KPM work, one fewer global NS.
+    "ns_global=3": {"ns_global": 3},
+    "base=256": {"base": 256},
+    "base=320": {"base": 320},
+    "chain=4": {"chain": 4},
+    "chain=3,base=256": {"chain": 3, "base": 256},
+    "kpm=32": {"kpm_degree": 32},
+    "sign=(7,3)": {"sign_iters": (7, 3)},
+    "lean-combo": {"base": 256, "kpm_degree": 32, "sign_iters": (7, 3)},
 }
 
 
