@@ -1,0 +1,186 @@
+"""Fine-grained stage attribution for the D&C eigensolver at chain sizes.
+
+Times every primitive of the chain path (n < strip) at the REAL shapes the
+bench Gram produces, fetch-synchronized, so the round-5 latency-floor
+argument (VERDICT r4 task 1: per-stage matmul-equivalent count x measured
+per-matmul latency) is a recorded artifact rather than a hand estimate.
+
+Run on the TPU from the repo root::
+
+    python tools/profile_eigdc_fine.py --gram /tmp/gram1152.npy
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _scalarize(fn):
+    """Reduce every output leaf to one f32 scalar INSIDE the jitted program.
+
+    The tunnel moves ~40 MB/s: fetching a 1152^2 f32 output costs ~130 ms and
+    swamps every stage time (the round-1 'batched eigh is slow' artifact).
+    Only the scalar crosses the tunnel."""
+
+    def wrapped(*args):
+        out = fn(*args)
+        return sum(
+            jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+            for leaf in jax.tree_util.tree_leaves(out)
+            if hasattr(leaf, "astype")
+        )
+
+    return jax.jit(wrapped)
+
+
+def _median_ms(fn, *args, reps=5, chain=8):
+    """Amortized per-call wall-clock: ``chain`` async dispatches, one fetch.
+
+    Same protocol as bench.py — the tunnel RTT (~25-30 ms) is paid once per
+    fetch, so per-stage figures resolve down to ~0.5 ms instead of ±5 ms."""
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        ts.append((time.perf_counter() - t0) / chain * 1e3)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gram", type=str, default="/tmp/gram1152.npy")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    from vivit_tpu import eigdc
+    from vivit_tpu.eigdc import (
+        _MARGIN, _compress, _deskew, _kpm_cdf, _leaf_eigh, _margin, _mm,
+        _orth_px, _power_norm, _sign_px, _split, _tree, _make_cfg,
+    )
+
+    H = jnp.asarray(np.load(args.gram), jnp.float32)
+    n = H.shape[0]
+    key = jax.random.PRNGKey(0)
+    cfg = _make_cfg()
+    print(f"device={jax.devices()[0].platform}  n={n}")
+
+    # amortized floor (rtt/chain + dispatch) so net figures are derivable
+    tiny = jax.jit(lambda x: x + 1.0)
+    rtt = _median_ms(tiny, jnp.zeros((8,), jnp.float32), reps=args.reps)
+    print(f"amortized dispatch floor {rtt:8.2f} ms")
+
+    # per-matmul latency at n (HIGHEST = 6-pass, HIGH = 3-pass bf16)
+    mm_hi = _scalarize(lambda A, B: _mm(A, B))
+    mm_mid = _scalarize(lambda A, B: _mm(A, B, jax.lax.Precision.HIGH))
+    chain_mm = _scalarize(
+        lambda A: jax.lax.fori_loop(0, 20, lambda _, X: _mm(X, X) / 2.0, A)
+    )
+    chain_mm_mid = _scalarize(
+        lambda A: jax.lax.fori_loop(
+            0, 20, lambda _, X: _mm(X, X, jax.lax.Precision.HIGH) / 2.0, A
+        )
+    )
+    t1 = _median_ms(mm_hi, H, H, reps=args.reps)
+    t20 = _median_ms(chain_mm, H, reps=args.reps)
+    t20m = _median_ms(chain_mm_mid, H, reps=args.reps)
+    per_mm_hi = (t20 - t1) / 19.0
+    per_mm_mid = (t20m - _median_ms(mm_mid, H, H, reps=args.reps)) / 19.0
+    print(f"per-matmul @{n} HIGHEST {per_mm_hi:6.3f} ms   HIGH {per_mm_mid:6.3f} ms"
+          f"   (single-shot incl RTT: {t1:.2f})")
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    s = float(np.linalg.norm(np.load(args.gram), 2)) * 1.05
+
+    stages = {}
+
+    # ---- root-level primitives at n ----
+    deskew = _scalarize(lambda M: _deskew(M, s, k1))
+    stages["deskew(n)"] = _median_ms(deskew, H, reps=args.reps)
+    B = jax.jit(lambda M: _deskew(M, s, k1))(H)
+
+    pn = _scalarize(lambda M: _power_norm(M, k1))
+    stages["power_norm(n)"] = _median_ms(pn, H, reps=args.reps)
+
+    kpm = _scalarize(lambda M: _kpm_cdf(M, k2, degree=cfg["kpm"]))
+    stages["kpm(n,deg64)"] = _median_ms(kpm, B, reps=args.reps)
+
+    sign = _scalarize(lambda M: _sign_px(M, *cfg["sign_root"]))
+    stages["sign_root(n)"] = _median_ms(sign, B, reps=args.reps)
+
+    kc = n // 2 + _margin(n)
+    split = _scalarize(
+        lambda M: _split(M, jnp.asarray(n), k2, cfg["sign_root"], kc,
+                         kpm_degree=cfg["kpm"])[:3]
+    )
+    stages["split(n) [kpm+sign+W+PW]"] = _median_ms(split, B, reps=args.reps)
+
+    Y = jax.random.normal(k3, (n, kc), jnp.float32)
+    orth = _scalarize(lambda M: _orth_px(M, *cfg["orth"]))
+    stages[f"orth(n x {kc})"] = _median_ms(orth, Y, reps=args.reps)
+    Yo = jax.jit(lambda M: _orth_px(M, *cfg["orth"]))(Y)
+
+    comp = _scalarize(lambda Yv, M: _compress(Yv, M))
+    stages[f"compress(n->{kc})"] = _median_ms(comp, Yo, B, reps=args.reps)
+
+    zoomcap = _scalarize(
+        lambda P, M, Om: _mm(P, _mm(M, _mm(P, Om)))
+    )
+    P = jnp.eye(n, dtype=jnp.float32) * 0.5
+    stages[f"zoom_capture(3mm n x {kc})"] = _median_ms(
+        zoomcap, P, H, Y, reps=args.reps
+    )
+
+    # ---- subtree level at kc (640-ish) ----
+    Bp = jax.jit(lambda Yv, M: _compress(Yv, M))(Yo, B)
+    tree = _scalarize(
+        lambda M: _tree(M[None], jnp.asarray([kc // 2]), Yo[None], k4, cfg)
+    )
+    stages[f"tree({kc})"] = _median_ms(tree, Bp, reps=args.reps)
+
+    # leaf eigh costs at candidate widths
+    for bsz, m in ((1, kc), (2, 360), (4, 288), (8, 176), (8, 160)):
+        A = jax.random.normal(k3, (bsz, m, m), jnp.float32)
+        A = A + jnp.swapaxes(A, -1, -2)
+        leaf = _scalarize(_leaf_eigh)
+        stages[f"leaf_eigh[{bsz},{m}^2]"] = _median_ms(leaf, A, reps=args.reps)
+
+    # ---- polish at m = n + pad ----
+    m = n + 32
+    Q = jax.random.normal(k4, (n, m), jnp.float32)
+
+    def ns_global(Qv):
+        def ns(_, Qi):
+            return 1.5 * Qi - 0.5 * _mm(Qi, _mm(Qi.T, Qi))
+        return jax.lax.fori_loop(0, 4, ns, Qv)
+
+    stages["ns_global x4"] = _median_ms(_scalarize(ns_global), Q, reps=args.reps)
+
+    Bt = jax.random.normal(k1, (m, m), jnp.float32)
+    Bt = 0.5 * (Bt + Bt.T)
+    wj = _scalarize(lambda M: eigdc._windowed_jacobi(M, None, w=32))
+    stages["windowed_jacobi(w32)"] = _median_ms(wj, Bt, reps=args.reps)
+    bb = _scalarize(lambda M: eigdc._bottom_block(M, None, 320))
+    stages["bottom_block(320)"] = _median_ms(bb, Bt, reps=args.reps)
+    srt = _scalarize(lambda M: eigdc._sort_by_diag(M, None))
+    stages["sort_by_diag"] = _median_ms(srt, Bt, reps=args.reps)
+    compq = _scalarize(lambda Qv, M: _compress(Qv, M))
+    stages["compress Q'HQ"] = _median_ms(compq, Q, H, reps=args.reps)
+
+    print(f"\n{'stage':36s} amortized   net-of-floor")
+    for name, ms in stages.items():
+        print(f"{name:36s} {ms:8.2f} ms   {ms - rtt:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

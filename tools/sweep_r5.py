@@ -1,0 +1,124 @@
+"""Round-5 eigensolver attack: amortized on-chip sweep at the headline size.
+
+Times full ``eigvalsh_dc`` variants on the real deflated 1152 bench Gram with
+the bench protocol (8 async dispatches / one scalar fetch / divide by 8) and
+screens accuracy against on-device XLA f32.  Also probes the Pallas Jacobi
+kernel above its current m <= 64 envelope (the profile says XLA's batched
+eigh fixed cost dominates the chain's leaf solves).
+
+Usage::
+
+    python tools/dump_gram.py --deflate --out /tmp/gram1152.npy
+    python tools/sweep_r5.py --gram /tmp/gram1152.npy
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RTOL, ATOL = 1e-4, 5e-6
+
+
+def _amortized_ms(fn, arg, reps=5, chain=8):
+    out = np.asarray(fn(arg))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            r = fn(arg)
+        out = np.asarray(r)
+        ts.append((time.perf_counter() - t0) / chain * 1e3)
+    return float(np.median(ts)), out
+
+
+def _violations(evals, ref):
+    lmax = float(np.max(np.abs(ref)))
+    tol = RTOL * np.abs(ref) + ATOL * max(1.0, lmax)
+    err = np.abs(np.sort(evals) - np.sort(ref))
+    return int(np.sum(err > tol)), float(np.max(err / tol))
+
+
+def probe_pallas(args):
+    """Can the Pallas Jacobi kernel compile/win above m=64?"""
+    from vivit_tpu.kernels import jacobi_pallas as jp
+    from vivit_tpu.kernels.jacobi import batched_eigh_xla
+
+    key = jax.random.PRNGKey(0)
+    print("\n-- pallas probe (vs XLA batched eigh) --")
+    for bsz, m in ((8, 128), (14, 160), (15, 240), (4, 128), (18, 64)):
+        A = jax.random.normal(key, (bsz, m, m), jnp.float32)
+        A = A + jnp.swapaxes(A, -1, -2)
+        try:
+            pal = jax.jit(lambda M: jp.batched_eigh_jacobi(M)[0])
+            ms_p, ev_p = _amortized_ms(pal, A, reps=args.reps)
+        except Exception as e:
+            print(f"[{bsz},{m}^2] pallas FAILED: {type(e).__name__}: "
+                  f"{str(e)[:120]}")
+            continue
+        xla = jax.jit(lambda M: batched_eigh_xla(M)[0])
+        ms_x, ev_x = _amortized_ms(xla, A, reps=args.reps)
+        err = float(np.max(np.abs(ev_p - ev_x)))
+        print(f"[{bsz},{m}^2] pallas {ms_p:7.2f} ms  xla {ms_x:7.2f} ms  "
+              f"maxerr {err:.2e}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gram", type=str, default="/tmp/gram1152.npy")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--skip-pallas", action="store_true")
+    ap.add_argument("--configs", type=str, default=None,
+                    help="comma-separated subset of config names")
+    args = ap.parse_args()
+
+    from vivit_tpu.eigdc import eigvalsh_dc
+
+    H = jnp.asarray(np.load(args.gram), jnp.float32)
+    n = H.shape[0]
+    print(f"device={jax.devices()[0].platform}  n={n}")
+
+    ref = np.asarray(jax.jit(jnp.linalg.eigvalsh)(H))
+    ms_x, _ = _amortized_ms(jax.jit(jnp.linalg.eigvalsh), H, reps=args.reps)
+    print(f"xla eigvalsh: {ms_x:7.2f} ms amortized")
+
+    configs = {
+        "default(guarded)": {"guard": 1e-4},
+        "default(raw)": {},
+        "bottom=256": {"bottom": 256},
+        "bottom=160": {"bottom": 160},
+        "kpm=48": {"kpm_degree": 48},
+        "base=256": {"base": 256},
+        "base=224": {"base": 224},
+        "chain=3": {"chain": 3},
+        "ns3": {"ns_global": 3},
+    }
+    if args.configs:
+        names = args.configs.split(",")
+        configs = {k: v for k, v in configs.items() if k in names}
+
+    for name, kw in configs.items():
+        kw = dict(kw)
+        kw.setdefault("guard", None)
+        fn = jax.jit(lambda M, kw=kw: eigvalsh_dc(M, **kw))
+        try:
+            ms, evals = _amortized_ms(fn, H, reps=args.reps)
+        except Exception as e:
+            print(f"{name:24s} FAILED: {type(e).__name__}: {str(e)[:100]}")
+            continue
+        nv, worst = _violations(evals, ref)
+        print(f"{name:24s} {ms:7.2f} ms   viol {nv:4d}/{n}  "
+              f"worst err/tol {worst:6.3f}")
+
+    if not args.skip_pallas:
+        probe_pallas(args)
+
+
+if __name__ == "__main__":
+    main()
