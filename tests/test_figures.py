@@ -1,0 +1,20 @@
+"""Artifact-first figure quoting (VERDICT r4 weak #2 / task 9).
+
+The BENCH figure blocks in CHANGELOG.md and docs/design.md are generated
+from the driver's ``BENCH_r*.json`` artifacts by ``tools/sync_figures.py``;
+this test fails when they drift (quote the artifact, not a builder run).
+"""
+
+import os
+import subprocess
+import sys
+
+
+def test_bench_figure_blocks_in_sync():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "sync_figures.py"),
+         "--check"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr + proc.stdout

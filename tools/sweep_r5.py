@@ -98,6 +98,19 @@ def main():
         "base=224": {"base": 224},
         "chain=3": {"chain": 3},
         "ns3": {"ns_global": 3},
+        # round-5b: polish windowed-pass pattern + tree-only KPM degree
+        "wj(1,0,1)": {"wj_iters": (1, 0, 1)},
+        "wj(0,1,1)": {"wj_iters": (0, 1, 1)},
+        "wj(1,1,0)": {"wj_iters": (1, 1, 0)},
+        "wj(1,0,0)": {"wj_iters": (1, 0, 0)},
+        "kpmtree=32": {"kpm_tree": 32},
+        "kpmtree=40": {"kpm_tree": 40},
+        "combo-a": {"bottom": 160, "wj_iters": (1, 0, 1), "ns_global": 3},
+        "combo-b": {"bottom": 160, "wj_iters": (1, 0, 1), "ns_global": 3,
+                    "kpm_tree": 40},
+        "combo-c": {"bottom": 160, "wj_iters": (1, 0, 1)},
+        "combo-b(guarded)": {"bottom": 160, "wj_iters": (1, 0, 1),
+                             "ns_global": 3, "kpm_tree": 40, "guard": 1e-4},
     }
     if args.configs:
         names = args.configs.split(",")

@@ -132,6 +132,34 @@ def stage_cpu():
         model_fn, loss).get_result({"params": list(paths)}))
     print("error paths OK", flush=True)
 
+    # 6) module-mode (round 5): the class API on a flax module (structured/
+    # tapped engine) reproduces the model_fn-mode oracle parity
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Conv(3, (3, 3))(jnp.reshape(x, (-1, 2, 2, 1))))
+            x = jnp.reshape(x, (x.shape[0], -1))
+            return nn.Dense(3)(x)
+
+    module = Tiny()
+    Xi = jnp.asarray(np.random.default_rng(1).normal(size=(6, 4)),
+                     jnp.float32)
+    yi = jnp.asarray(np.random.default_rng(2).integers(0, 3, size=(6,)),
+                     jnp.int32)
+    variables = module.init(jax.random.PRNGKey(0), Xi)
+    (ev_fn,) = vt.EigvalshComputation(
+        lambda p, x: module.apply({"params": p}, x), loss
+    ).compute(variables["params"], Xi, yi)
+    (ev_mod,) = vt.EigvalshComputation(module, loss).compute(
+        variables, Xi, yi
+    )
+    assert np.allclose(np.asarray(ev_mod), np.asarray(ev_fn),
+                       rtol=1e-4, atol=5e-6)
+    print("module-mode class API OK", flush=True)
+
 
 def stage_tpu():
     import jax

@@ -357,7 +357,7 @@ def _tree(B_batch, counts, lifts, key, cfg):
 
     def split_one(B, count, lift, kk):
         P, W, PW, r, _, _ = _split(B, count, kk, cfg["sign"], kc,
-                                   kpm_degree=cfg["kpm"], prec=prec)
+                                   kpm_degree=cfg["kpm_tree"], prec=prec)
         r = jnp.clip(r, jnp.maximum(0, count - kc), jnp.minimum(count, kc))
         Ym = _orth_px(PW, *cfg["orth"], prec=prec)
         Wp = W - PW
@@ -630,15 +630,20 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _make_cfg(base=160, chain=6, sign_root=(9, 4), sign=(9, 4), orth=(8, 3),
               kpm=64, basis_prec=None, q_prec=None, deskew_prec=None,
-              deskew_terms=None, strip=None):
+              deskew_terms=None, strip=None, kpm_tree=None):
     """Build the internal tuning dict (single source of the key set — the
-    profiler/sweep tools construct cfgs too and must not drift)."""
+    profiler/sweep tools construct cfgs too and must not drift).
+
+    ``kpm_tree``: KPM degree for the *batched subtree* splits only (the
+    zoom-chain and root splits keep ``kpm`` — their σ placement gates the
+    capacity clip).  Defaults to ``kpm``.
+    """
     prec_map = {None: None, "highest": _HI, "high": _MID}
     return {"base": base, "chain": chain, "sign_root": tuple(sign_root),
             "sign": tuple(sign), "orth": tuple(orth), "kpm": kpm,
             "basis_prec": prec_map[basis_prec], "q_prec": prec_map[q_prec],
             "deskew_prec": prec_map[deskew_prec], "deskew_terms": deskew_terms,
-            "strip": strip}
+            "strip": strip, "kpm_tree": kpm_tree or kpm}
 
 
 def _no_trip_info() -> dict:
@@ -669,6 +674,8 @@ def eigh_dc(
     dm_ns: Optional[int] = None,
     deskew_terms: Optional[int] = None,
     strip: Optional[int] = None,
+    wj_iters: Optional[Tuple[int, int, int]] = None,
+    kpm_tree: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full-spectrum eigendecomposition of a symmetric PSD matrix.
 
@@ -810,11 +817,13 @@ def eigh_dc(
     # deskew_prec="high" is parity-safe (0 violations, top-40 1.2e-5) but
     # its ~1.7 ms is inside the ±4 ms variance band.  Neither is a default;
     # per-matmul precision demotion is conclusively NOT the lever.
+    if wj_iters is None:
+        wj_iters = (1, 1, 1)
     cfg = _make_cfg(
         base=base, chain=chain, sign_root=tuple(sign_iters_root),
         sign=tuple(sign_iters), orth=tuple(orth_iters), kpm=kpm_degree,
         basis_prec=basis_prec, q_prec=q_prec, deskew_prec=deskew_prec,
-        deskew_terms=deskew_terms, strip=strip,
+        deskew_terms=deskew_terms, strip=strip, kpm_tree=kpm_tree,
     )
     # explicit q_prec takes precedence over the blanket basis_prec: the
     # polish-side matmuls (global NS, DM rotations) are the top-band Ritz
@@ -916,17 +925,20 @@ def eigh_dc(
     for _ in range(dm_iters[0]):
         Bt, Qp = _dm_iteration(Bt, Qp, next(it), q_prec=qp,
                                ns_iters=dm_ns)
-    Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
+    for _ in range(wj_iters[0]):
+        Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     for _ in range(dm_iters[1]):
         Bt, Qp = _dm_iteration(Bt, Qp, next(it), q_prec=qp,
                                ns_iters=dm_ns)
-    Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
+    for _ in range(wj_iters[1]):
+        Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     Bt, Qp = _bottom_block(Bt, Qp, bottom)
     if Bt.shape[0] >= _STRIP_MIN:
         Bt, Qp = _sort_by_diag(Bt, Qp)
         Bt, Qp = _top_block(Bt, Qp, bottom)
     # clusters straddling the bottom-block boundary: one more local sweep
-    Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
+    for _ in range(wj_iters[2]):
+        Bt, Qp = _windowed_jacobi(Bt, Qp, w=w)
     for _ in range(dm_iters[2]):
         Bt, Qp = _dm_iteration(Bt, Qp, next(it), q_prec=qp,
                                ns_iters=dm_ns)

@@ -1,0 +1,154 @@
+"""Engine dispatch: one V-transform entry point for every API surface.
+
+Round-4 left an asymmetry: the tapped engine (:mod:`vivit_tpu.tapped` —
+one batched backward + layer-local patch matmuls, ~2× faster V-transform on
+conv nets) was reachable only from the ``*_structured`` functional builders,
+while the four reference-mirroring Computation classes
+(reference: vivit/linalg/eigvalsh.py:20, vivit/linalg/eigh.py:21,
+vivit/optim/directional_derivatives.py:24,
+vivit/optim/directional_damped_newton.py:24) always ran the generic
+vmap-of-vjp engine.
+
+This module closes the gap.  Every class/functional core now accepts the
+model as EITHER
+
+* a plain ``model_fn(params, X)`` callable → generic vjp engine (any
+  differentiable model; the parity oracle), or
+* a ``flax.linen.Module`` → structured engine (``engine="tapped"`` default:
+  Kronecker-factored Dense blocks, patch-matmul Conv blocks) with the full
+  ``variables`` dict passed where the ``params`` pytree would go.
+
+The dispatch helpers below make the downstream Gram / back-projection /
+``Vᵀg`` algebra agnostic to which engine produced the ``Vᵀ`` dict (mixed
+dicts carry :class:`~vivit_tpu.structured.DenseFactor` /
+:class:`~vivit_tpu.tapped.ConvVT` leaves; generic dicts carry arrays).
+"""
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def is_flax_module(model) -> bool:
+    """Whether the user handed a flax module (structured-engine mode)."""
+    return isinstance(model, nn.Module)
+
+
+def split_variables(variables: Any) -> Tuple[Any, Dict[str, Any]]:
+    """``variables`` → (params, non-param collections)."""
+    params = variables["params"]
+    consts = {k: v for k, v in variables.items() if k != "params"}
+    return params, consts
+
+
+def forward_fn(module: nn.Module, consts: Dict[str, Any]):
+    """``model_fn(params, X)``-shaped forward for a flax module."""
+
+    def model_fn(p, x):
+        return module.apply({"params": p, **consts}, x)
+
+    return model_fn
+
+def resolve_model(model, params_or_variables):
+    """Normalize the two model conventions to one.
+
+    Returns ``(model_fn, params, build_vt_kwargs)`` where ``model_fn`` is a
+    plain ``(params, X) -> out`` callable over the *differentiable* params
+    pytree, ``params`` is that pytree, and ``build_vt_kwargs`` is what
+    :func:`build_vt` needs to reconstruct the engine choice.
+    """
+    if is_flax_module(model):
+        params, consts = split_variables(params_or_variables)
+        return forward_fn(model, consts), params, {"module": model}
+    return model, params_or_variables, {}
+
+
+def build_vt(
+    model,
+    loss,
+    params_or_variables,
+    X,
+    y,
+    *,
+    engine: str = "tapped",
+    conv_vt_dtype: Optional[Any] = None,
+    **kwargs,
+) -> Dict[str, Any]:
+    """Build the ``Vᵀ`` dict with the engine matching the model convention.
+
+    ``model`` a flax module → :func:`vivit_tpu.structured.structured_ggn_
+    sqrt_vt` (mixed dict, ``engine``/``conv_vt_dtype`` honored);
+    ``model`` a callable → :func:`vivit_tpu.ggn.ggn_sqrt_vt` (generic dict,
+    ``engine``/``conv_vt_dtype`` ignored — there is no module structure to
+    exploit).  ``kwargs`` are the shared V-transform knobs (``subsampling``,
+    ``mc_samples``, ``key``, ``batch_size``, ``sample_ids``,
+    ``deflate_ce_null``).
+    """
+    if is_flax_module(model):
+        from vivit_tpu.structured import structured_ggn_sqrt_vt
+
+        return structured_ggn_sqrt_vt(
+            model, params_or_variables, loss, X, y,
+            engine=engine, conv_vt_dtype=conv_vt_dtype, **kwargs,
+        )
+    from vivit_tpu.ggn import ggn_sqrt_vt
+
+    return ggn_sqrt_vt(model, loss, params_or_variables, X, y, **kwargs)
+
+
+def vt_is_mixed(vt: Dict[str, Any]) -> bool:
+    """Whether the ``Vᵀ`` dict carries factored (non-array) leaves."""
+    from vivit_tpu.structured import DenseFactor
+    from vivit_tpu.tapped import ConvVT
+
+    return any(isinstance(leaf, (DenseFactor, ConvVT)) for leaf in vt.values())
+
+
+def gram_any(vt, paths=None, precision=None) -> jnp.ndarray:
+    """Group Gram matrix over either engine's ``Vᵀ`` dict."""
+    if vt_is_mixed(vt):
+        from vivit_tpu.structured import gram_matrix_mixed
+
+        return gram_matrix_mixed(vt, paths=paths, generic_precision=precision)
+    from vivit_tpu.gram import gram_matrix
+
+    return gram_matrix(vt, paths=paths, precision=precision)
+
+
+def v_mat_prod_any(vt, gram_vecs: jnp.ndarray,
+                   paths: Sequence[str]) -> List[jnp.ndarray]:
+    """``V @ ẽ`` for stacked rows ``[K, CF·S]`` → leaves ``[K, *shape]``."""
+    if vt_is_mixed(vt):
+        from vivit_tpu.structured import v_mat_prod_mixed
+
+        return v_mat_prod_mixed(vt, gram_vecs, paths)
+    from vivit_tpu.gram import v_mat_prod
+
+    _, leaves = v_mat_prod(vt, gram_vecs, paths=paths)
+    return leaves
+
+
+def vt_mat_prod_any(vt, mat_leaves: Sequence[jnp.ndarray],
+                    paths: Sequence[str]) -> jnp.ndarray:
+    """``Vᵀ @ m`` for leaves ``[K, *shape]`` → ``[CF·S, K]``."""
+    if vt_is_mixed(vt):
+        from vivit_tpu.structured import vt_mat_prod_mixed
+
+        return vt_mat_prod_mixed(vt, mat_leaves, paths)
+    from vivit_tpu.gram import vt_mat_prod
+
+    return vt_mat_prod(vt, mat_leaves, paths=paths)
+
+
+def backproject_any(vt, gram_evecs: jnp.ndarray,
+                    paths: Sequence[str]) -> List[jnp.ndarray]:
+    """Normalized parameter-space eigenvectors from column-stacked ``ẽ``.
+
+    ``gram_evecs`` is ``[CF·S, K]``; result leaves are ``[K, *param.shape]``
+    (reference back-projection + normalize, vivit/linalg/eigh.py:264-272,
+    vivit/linalg/utils.py:67-76).
+    """
+    from vivit_tpu.gram import normalize
+
+    return normalize(v_mat_prod_any(vt, gram_evecs.T, paths))

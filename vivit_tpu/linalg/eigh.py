@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vivit_tpu.ggn import ggn_sqrt_vt
-from vivit_tpu.gram import gram_matrix, normalize, v_mat_prod
+
+
 from vivit_tpu.linalg.utils import group_key, resolve_param_groups, warn_if_small
 from vivit_tpu.losses import Loss
 from vivit_tpu.utils.checks import check_subsampling_unique
@@ -32,7 +32,8 @@ from vivit_tpu.utils.checks import check_subsampling_unique
 def _gram_eigh_all(model_fn, loss, params, X, y, *, group_paths, subsampling,
                    mc_samples, key, batch_size=None,
                    precision="highest", gram_precision=None,
-                   eig_backend="xla", deflate_ce_null=False):
+                   eig_backend="xla", deflate_ce_null=False,
+                   engine="tapped", conv_vt_dtype=None):
     """Stage 1: ``Vᵀ`` plus per-group (evals, evecs, guard-info) of the Gram."""
     with jax.default_matmul_precision(precision):
         return _gram_eigh_all_impl(
@@ -40,28 +41,36 @@ def _gram_eigh_all(model_fn, loss, params, X, y, *, group_paths, subsampling,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
             batch_size=batch_size,
             gram_precision=gram_precision, eig_backend=eig_backend,
-            deflate_ce_null=deflate_ce_null,
+            deflate_ce_null=deflate_ce_null, engine=engine,
+            conv_vt_dtype=conv_vt_dtype,
         )
 
 
 def _gram_eigh_all_impl(model_fn, loss, params, X, y, *, group_paths,
                         subsampling, mc_samples, key, batch_size,
                         gram_precision=None, eig_backend="xla",
-                        deflate_ce_null=False):
+                        deflate_ce_null=False, engine="tapped",
+                        conv_vt_dtype=None):
     from vivit_tpu.eig import full_eigh
+    from vivit_tpu.engines import build_vt, gram_any, resolve_model
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
 
-    vt = ggn_sqrt_vt(
+    fwd, fwd_params, _ = resolve_model(model_fn, params)
+    # eigenvector mode keeps the Gram-LEVEL deflation (deflated_eigh): the
+    # structural-zero directions come back with their analytic eigenvectors
+    # so criterion selections behave identically (factor-level deflation
+    # would drop them from V entirely — values-only semantics)
+    vt = build_vt(
         model_fn, loss, params, X, y,
         subsampling=subsampling, mc_samples=mc_samples, key=key,
-        batch_size=batch_size,
+        batch_size=batch_size, engine=engine, conv_vt_dtype=conv_vt_dtype,
     )
     if deflate_ce_null:
         from vivit_tpu.deflate import deflated_eigh
 
         idx = None if subsampling is None else jnp.asarray(subsampling)
         Xs = X if idx is None else jnp.take(X, idx, axis=0)
-        probs = jax.nn.softmax(model_fn(params, Xs), axis=-1)
+        probs = jax.nn.softmax(fwd(fwd_params, Xs), axis=-1)
 
         def solve(gram):
             return deflated_eigh(gram, probs, backend=eig_backend,
@@ -71,8 +80,8 @@ def _gram_eigh_all_impl(model_fn, loss, params, X, y, *, group_paths,
             return full_eigh(gram, backend=eig_backend, return_info=True)
 
     eigs = tuple(
-        solve(gram_matrix(vt, paths=paths,
-                          precision=_PRECISIONS[gram_precision]))
+        solve(gram_any(vt, paths=paths,
+                       precision=_PRECISIONS[gram_precision]))
         for paths in group_paths
     )
     return vt, eigs
@@ -88,10 +97,14 @@ def backproject(
     ``[K, *param.shape]`` arrays in ``paths`` order.  Normalization by the
     global norm replaces the exact ``1/√λ`` scale for robustness, exactly as
     the reference does (vivit/linalg/eigh.py:272, vivit/linalg/utils.py:67-76).
+
+    Works on both engines' ``Vᵀ`` dicts (generic arrays or mixed
+    DenseFactor/ConvVT leaves — :mod:`vivit_tpu.engines`).
     """
     del gram_evals  # normalization supersedes the 1/√λ scale
-    _, leaves = v_mat_prod(vt, gram_evecs.T, paths=paths)
-    return normalize(leaves)
+    from vivit_tpu.engines import backproject_any
+
+    return backproject_any(vt, gram_evecs, paths)
 
 
 def eigh_topk(
@@ -112,6 +125,8 @@ def eigh_topk(
     solver: str = "eigh",
     lobpcg_iters: int = 100,
     deflate_ce_null: bool = False,
+    engine: str = "tapped",
+    conv_vt_dtype: Optional[Any] = None,
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Fully-jittable top-``k`` GGN eigenpairs (single group).
 
@@ -121,6 +136,9 @@ def eigh_topk(
     program — the production-path answer to the reference's host-side
     ``criterion`` protocol (vivit/linalg/eigh.py:119-127).
 
+    ``model_fn`` may be a flax module (then ``params`` is the ``variables``
+    dict and the structured/tapped engine runs — :mod:`vivit_tpu.engines`).
+
     ``deflate_ce_null`` (exact CE only) solves the top-``k`` on the exactly
     deflated ``(C−1)·S`` Gram and lifts the eigenvectors back — valid for
     ``k ≤ (C−1)·S`` (:mod:`vivit_tpu.deflate`).
@@ -128,21 +146,24 @@ def eigh_topk(
     from vivit_tpu.utils.tree import leaf_paths
 
     from vivit_tpu.eig import topk_eigh
+    from vivit_tpu.engines import build_vt, gram_any, resolve_model
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
 
+    fwd, fwd_params, _ = resolve_model(model_fn, params)
     if paths is None:
-        paths = leaf_paths(params)
+        paths = leaf_paths(fwd_params)
     if deflate_ce_null:
         from vivit_tpu.deflate import check_deflatable
 
         check_deflatable(loss, mc_samples)
     with jax.default_matmul_precision(precision):
-        vt = ggn_sqrt_vt(
+        vt = build_vt(
             model_fn, loss, params, X, y,
             subsampling=subsampling, mc_samples=mc_samples, key=key,
-            batch_size=batch_size,
+            batch_size=batch_size, engine=engine,
+            conv_vt_dtype=conv_vt_dtype,
         )
-        gram = gram_matrix(
+        gram = gram_any(
             vt, paths=paths,
             precision=_PRECISIONS[gram_precision],
         )
@@ -151,7 +172,7 @@ def eigh_topk(
 
             idx = None if subsampling is None else jnp.asarray(subsampling)
             Xs = X if idx is None else jnp.take(X, idx, axis=0)
-            probs = jax.nn.softmax(model_fn(params, Xs), axis=-1)
+            probs = jax.nn.softmax(fwd(fwd_params, Xs), axis=-1)
             top_evals, top_evecs = deflated_topk_eigh(
                 gram, probs, k, solver=solver, lobpcg_iters=lobpcg_iters
             )
@@ -188,6 +209,9 @@ class EighComputation:
         gram_precision: Optional[str] = None,
         eig_backend: str = "xla",
         deflate_ce_null: bool = False,
+        engine: str = "tapped",
+        conv_vt_dtype: Optional[Any] = None,
+        self_check: bool = False,
     ):
         check_subsampling_unique(subsampling)
         if deflate_ce_null:
@@ -195,6 +219,10 @@ class EighComputation:
 
             check_deflatable(loss, mc_samples)
         self._deflate_ce_null = deflate_ce_null
+        self._engine = engine
+        self._conv_vt_dtype = conv_vt_dtype
+        self._self_check = self_check
+        self._self_checked = False
         self._model_fn = model_fn
         self._loss = loss
         self._subsampling = None if subsampling is None else tuple(subsampling)
@@ -222,6 +250,8 @@ class EighComputation:
                 gram_precision=self._gram_precision,
                 eig_backend=self._eig_backend,
                 deflate_ce_null=self._deflate_ce_null,
+                engine=self._engine,
+                conv_vt_dtype=self._conv_vt_dtype,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)
@@ -242,8 +272,16 @@ class EighComputation:
         declared parameter order — the reference's result format
         (vivit/linalg/eigh.py:65-90).
         """
+        from vivit_tpu.engines import resolve_model
+
+        fwd, diff_params, _ = resolve_model(self._model_fn, params)
+        if self._self_check and not self._self_checked:
+            from vivit_tpu.utils.checks import check_model_fn
+
+            check_model_fn(fwd, diff_params, X)
+            self._self_checked = True
         param_groups = resolve_param_groups(
-            params, param_groups, required_keys=("params", "criterion")
+            diff_params, param_groups, required_keys=("params", "criterion")
         )
         group_paths = tuple(tuple(g["params"]) for g in param_groups)
         if self._verbose:

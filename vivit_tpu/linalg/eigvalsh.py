@@ -54,11 +54,18 @@ def eigvalsh(
     gram_precision: Optional[str] = None,
     eig_backend: str = "xla",
     deflate_ce_null: bool = False,
+    engine: str = "tapped",
+    conv_vt_dtype: Optional[Any] = None,
 ):
     """Functional core: tuple of ascending eigenvalue arrays, one per group.
 
     Pure and jittable (wrap in ``jax.jit`` with everything except
     ``params, X, y, key`` closed over).
+
+    ``model_fn`` may be a plain ``(params, X) -> out`` callable (generic vjp
+    engine) or a ``flax.linen.Module`` — then ``params`` is the full
+    ``variables`` dict and the structured engine runs (``engine="tapped"``
+    fast path by default; :mod:`vivit_tpu.engines`).
 
     ``precision`` sets the matmul precision for the whole pipeline
     (model forward/backward included): ``"highest"`` for reference-grade f32
@@ -72,6 +79,19 @@ def eigvalsh(
     the ``S`` structural zeros are returned exactly.  Exact CrossEntropy
     factors only (``mc_samples=0``).
     """
+    from vivit_tpu.engines import is_flax_module
+
+    if is_flax_module(model_fn):
+        from vivit_tpu.structured import eigvalsh_structured
+
+        return eigvalsh_structured(
+            model_fn, params, loss, X, y,
+            group_paths=group_paths, subsampling=subsampling,
+            mc_samples=mc_samples, key=key, precision=precision,
+            gram_precision=gram_precision, eig_backend=eig_backend,
+            deflate_ce_null=deflate_ce_null, engine=engine,
+            conv_vt_dtype=conv_vt_dtype,
+        )
     with jax.default_matmul_precision(precision):
         return _eigvalsh_impl(
             model_fn, loss, params, X, y, group_paths=group_paths,
@@ -139,8 +159,17 @@ class EigvalshComputation:
         verbose: bool = False,
         precision: str = "highest",
         gram_precision: Optional[str] = None,
+        eig_backend: str = "xla",
+        deflate_ce_null: bool = False,
+        engine: str = "tapped",
+        conv_vt_dtype: Optional[Any] = None,
+        self_check: bool = False,
     ):
         check_subsampling_unique(subsampling)
+        if deflate_ce_null:
+            from vivit_tpu.deflate import check_deflatable
+
+            check_deflatable(loss, mc_samples)
         self._model_fn = model_fn
         self._loss = loss
         self._subsampling = None if subsampling is None else tuple(subsampling)
@@ -148,6 +177,12 @@ class EigvalshComputation:
         self._verbose = verbose
         self._precision = precision
         self._gram_precision = gram_precision
+        self._eig_backend = eig_backend
+        self._deflate_ce_null = deflate_ce_null
+        self._engine = engine
+        self._conv_vt_dtype = conv_vt_dtype
+        self._self_check = self_check
+        self._self_checked = False
         self._jit_cache: Dict = {}
         self._evals: Dict[int, jnp.ndarray] = {}
 
@@ -163,6 +198,10 @@ class EigvalshComputation:
                 mc_samples=self._mc_samples,
                 precision=self._precision,
                 gram_precision=self._gram_precision,
+                eig_backend=self._eig_backend,
+                deflate_ce_null=self._deflate_ce_null,
+                engine=self._engine,
+                conv_vt_dtype=self._conv_vt_dtype,
             )
             self._jit_cache[cache_key] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)
@@ -178,7 +217,15 @@ class EigvalshComputation:
         key: Optional[jax.Array] = None,
     ) -> List[jnp.ndarray]:
         """Run the computation; returns eigenvalues per group (ascending)."""
-        param_groups = resolve_param_groups(params, param_groups)
+        from vivit_tpu.engines import resolve_model
+
+        fwd, diff_params, _ = resolve_model(self._model_fn, params)
+        if self._self_check and not self._self_checked:
+            from vivit_tpu.utils.checks import check_model_fn
+
+            check_model_fn(fwd, diff_params, X)
+            self._self_checked = True
+        param_groups = resolve_param_groups(diff_params, param_groups)
         group_paths = tuple(tuple(g["params"]) for g in param_groups)
         if self._verbose:
             print(f"EigvalshComputation: groups {group_paths}")

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vivit_tpu.gram import v_mat_prod
+
 from vivit_tpu.linalg.utils import group_key, resolve_param_groups, warn_if_small
 from vivit_tpu.losses import Loss
 from vivit_tpu.optim.utils import derivatives_stage1, gammas_lambdas
@@ -56,8 +56,10 @@ def newton_step_from_derivatives(
         / (jnp.mean(lambdas, axis=0) + dampings)
         / jnp.sqrt(evals_sel)
     )
+    from vivit_tpu.engines import v_mat_prod_any
+
     v = evecs_sel @ coefficients  # [CF·S] Gram-space step
-    _, leaves = v_mat_prod(vt, v[None, :], paths=paths)
+    leaves = v_mat_prod_any(vt, v[None, :], paths)
     return [leaf[0] for leaf in leaves]
 
 
@@ -149,6 +151,21 @@ class DirectionalDampedNewtonComputation:
     ``param_groups`` entries carry ``'params'``, ``'criterion'`` and
     ``'damping'`` — identical protocol to the reference.  The result per
     group is the Newton step in parameter-list format (group order).
+
+    ``model_fn`` may be a flax module — then ``compute`` takes the full
+    ``variables`` dict and the structured/tapped V-transform engine runs
+    (:mod:`vivit_tpu.engines`; ``engine`` selects it).
+
+    ``solver``/``k_top``: replace the full Gram eigendecomposition by a
+    top-``k`` solve (``"lobpcg"`` | ``"dc"`` | ``"eigh"``) — the
+    measured-best benchmark configuration is ``solver="lobpcg"`` with
+    ``deflate_ce_null=True`` (reference protocol damping/solver knobs:
+    vivit/optim/directional_damped_newton.py:140-176).  CAVEAT: the
+    criterion then sees only the ``k_top`` ascending eigenvalues, and the
+    lobpcg+deflate Newton step was measured 7.7e-4 off the dense-eigh
+    oracle on the benchmark Gram (docs/design.md round-4 solver sweep) —
+    within the reference's rtol=1e-5 bar ONLY for well-separated spectra;
+    use the default full ``eigh`` for reference-grade parity.
     """
 
     def __init__(
@@ -164,6 +181,12 @@ class DirectionalDampedNewtonComputation:
         gram_precision: Optional[str] = None,
         eig_backend: str = "xla",
         deflate_ce_null: bool = False,
+        engine: str = "tapped",
+        conv_vt_dtype: Optional[Any] = None,
+        solver: str = "eigh",
+        k_top: Optional[int] = None,
+        lobpcg_iters: int = 100,
+        self_check: bool = False,
     ):
         check_subsampling_unique(subsampling_grad)
         check_subsampling_unique(subsampling_ggn)
@@ -171,7 +194,19 @@ class DirectionalDampedNewtonComputation:
             from vivit_tpu.deflate import check_deflatable
 
             check_deflatable(loss, mc_samples_ggn)
+        if k_top is None and solver != "eigh":
+            raise ValueError(
+                "solver != 'eigh' requires k_top (iterative solvers "
+                "compute a top-k eigenbasis, not the full spectrum)."
+            )
         self._deflate_ce_null = deflate_ce_null
+        self._engine = engine
+        self._conv_vt_dtype = conv_vt_dtype
+        self._solver = solver
+        self._k_top = k_top
+        self._lobpcg_iters = lobpcg_iters
+        self._self_check = self_check
+        self._self_checked = False
         self._model_fn = model_fn
         self._loss = loss
         self._subsampling_grad = (
@@ -203,6 +238,11 @@ class DirectionalDampedNewtonComputation:
                 gram_precision=self._gram_precision,
                 eig_backend=self._eig_backend,
                 deflate_ce_null=self._deflate_ce_null,
+                engine=self._engine,
+                conv_vt_dtype=self._conv_vt_dtype,
+                solver=self._solver,
+                k_top=self._k_top,
+                lobpcg_iters=self._lobpcg_iters,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)
@@ -218,8 +258,17 @@ class DirectionalDampedNewtonComputation:
         key: Optional[jax.Array] = None,
     ) -> List[List[jnp.ndarray]]:
         """Run the computation; returns the Newton step per group."""
+        from vivit_tpu.engines import resolve_model
+
+        fwd, diff_params, _ = resolve_model(self._model_fn, params)
+        if self._self_check and not self._self_checked:
+            from vivit_tpu.utils.checks import check_model_fn
+
+            check_model_fn(fwd, diff_params, X)
+            self._self_checked = True
         param_groups = resolve_param_groups(
-            params, param_groups, required_keys=("params", "criterion", "damping")
+            diff_params, param_groups,
+            required_keys=("params", "criterion", "damping"),
         )
         group_paths = tuple(tuple(g["params"]) for g in param_groups)
         if self._verbose:

@@ -106,6 +106,9 @@ class DirectionalDerivativesComputation:
         gram_precision: Optional[str] = None,
         eig_backend: str = "xla",
         deflate_ce_null: bool = False,
+        engine: str = "tapped",
+        conv_vt_dtype: Optional[Any] = None,
+        self_check: bool = False,
     ):
         check_subsampling_unique(subsampling_grad)
         check_subsampling_unique(subsampling_ggn)
@@ -114,6 +117,10 @@ class DirectionalDerivativesComputation:
 
             check_deflatable(loss, mc_samples_ggn)
         self._deflate_ce_null = deflate_ce_null
+        self._engine = engine
+        self._conv_vt_dtype = conv_vt_dtype
+        self._self_check = self_check
+        self._self_checked = False
         self._model_fn = model_fn
         self._loss = loss
         self._subsampling_grad = (
@@ -146,6 +153,8 @@ class DirectionalDerivativesComputation:
                 gram_precision=self._gram_precision,
                 eig_backend=self._eig_backend,
                 deflate_ce_null=self._deflate_ce_null,
+                engine=self._engine,
+                conv_vt_dtype=self._conv_vt_dtype,
             )
             self._jit_cache[group_paths] = jax.jit(
                 lambda params, X, y, key: fn(params, X, y, key=key)
@@ -161,8 +170,16 @@ class DirectionalDerivativesComputation:
         key: Optional[jax.Array] = None,
     ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
         """Run the computation; returns ``(gammas, lambdas)`` per group."""
+        from vivit_tpu.engines import resolve_model
+
+        fwd, diff_params, _ = resolve_model(self._model_fn, params)
+        if self._self_check and not self._self_checked:
+            from vivit_tpu.utils.checks import check_model_fn
+
+            check_model_fn(fwd, diff_params, X)
+            self._self_checked = True
         param_groups = resolve_param_groups(
-            params, param_groups, required_keys=("params", "criterion")
+            diff_params, param_groups, required_keys=("params", "criterion")
         )
         group_paths = tuple(tuple(g["params"]) for g in param_groups)
         if self._verbose:

@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from vivit_tpu.eig import full_eigh
-from vivit_tpu.ggn import batch_grad, ggn_sqrt_vt
-from vivit_tpu.gram import gram_matrix, vt_mat_prod
+from vivit_tpu.ggn import batch_grad
+
 from vivit_tpu.losses import Loss
 from vivit_tpu.utils.tree import select_paths
 
@@ -48,11 +48,20 @@ def derivatives_stage1(
     compute_eigh: bool = True,
     eig_backend: str = "xla",
     deflate_ce_null: bool = False,
+    engine: str = "tapped",
+    conv_vt_dtype=None,
+    solver: str = "eigh",
+    k_top: Optional[int] = None,
+    lobpcg_iters: int = 100,
 ):
     """Jittable stage 1: ``Vᵀ``, per-group Gram eigendecomposition, ``Vᵀ G``.
 
     Returns ``(vt, per_group)`` where each per-group entry is
     ``(gram [CFS, CFS], evals [CFS], evecs [CFS, CFS], V_t_g [CFS, N_grad])``.
+
+    ``model_fn`` may be a flax module — then ``params`` is the ``variables``
+    dict and the structured/tapped engine builds ``Vᵀ``
+    (:mod:`vivit_tpu.engines`).
 
     ``eig_backend="dc"`` runs the Gram eigendecomposition through the
     MXU-native spectral-D&C solver (:mod:`vivit_tpu.eigdc`, guarded).
@@ -60,6 +69,11 @@ def derivatives_stage1(
     the exactly deflated ``(C−1)·S`` Gram and lifts the eigenvectors
     (:mod:`vivit_tpu.deflate`); the full Gram is still returned (λ needs
     it), only the eigensolve shrinks.
+
+    ``k_top`` (with ``solver`` ∈ {"eigh", "lobpcg", "dc"}) replaces the full
+    eigendecomposition by a top-``k`` solve: ``evals``/``evecs`` come back
+    ``[k]``-selected (ascending) — the measured-best Newton configuration
+    (``solver="lobpcg"`` + deflation) for the class API.
     """
     with jax.default_matmul_precision(precision):
         return _derivatives_stage1_impl(
@@ -68,7 +82,9 @@ def derivatives_stage1(
             mc_samples_ggn=mc_samples_ggn, key=key, batch_size=batch_size,
             gram_precision=gram_precision,
             compute_eigh=compute_eigh, eig_backend=eig_backend,
-            deflate_ce_null=deflate_ce_null,
+            deflate_ce_null=deflate_ce_null, engine=engine,
+            conv_vt_dtype=conv_vt_dtype, solver=solver, k_top=k_top,
+            lobpcg_iters=lobpcg_iters,
         )
 
 
@@ -76,21 +92,31 @@ def _derivatives_stage1_impl(
     model_fn, loss, params, X, y, *, group_paths, subsampling_grad,
     subsampling_ggn, mc_samples_ggn, key, batch_size,
     gram_precision=None, compute_eigh=True, eig_backend="xla",
-    deflate_ce_null=False,
+    deflate_ce_null=False, engine="tapped", conv_vt_dtype=None,
+    solver="eigh", k_top=None, lobpcg_iters=100,
 ):
+    from vivit_tpu.engines import (
+        build_vt,
+        gram_any,
+        resolve_model,
+        vt_mat_prod_any,
+    )
+
     if loss.reduction != "mean":
         raise ValueError(
             "Directional derivatives require reduction='mean' "
             "(same restriction as the reference)."
         )
+    fwd, fwd_params, _ = resolve_model(model_fn, params)
     N = batch_size if batch_size is not None else X.shape[0]
-    vt = ggn_sqrt_vt(
+    vt = build_vt(
         model_fn, loss, params, X, y,
         subsampling=subsampling_ggn, mc_samples=mc_samples_ggn, key=key,
-        batch_size=N,
+        batch_size=N, engine=engine, conv_vt_dtype=conv_vt_dtype,
     )
     grads = batch_grad(
-        model_fn, loss, params, X, y, subsampling=subsampling_grad, batch_size=N
+        fwd, loss, fwd_params, X, y, subsampling=subsampling_grad,
+        batch_size=N,
     )
     # undo the 1/N BatchGrad convention → unscaled per-sample gradients ∇ℓ_n
     grads = jax.tree_util.tree_map(lambda g: g * N, grads)
@@ -105,13 +131,26 @@ def _derivatives_stage1_impl(
         idx = (None if subsampling_ggn is None
                else jnp.asarray(subsampling_ggn))
         Xs = X if idx is None else jnp.take(X, idx, axis=0)
-        probs = jax.nn.softmax(model_fn(params, Xs), axis=-1)
+        probs = jax.nn.softmax(fwd(fwd_params, Xs), axis=-1)
 
     per_group = []
     for paths in group_paths:
-        gram = gram_matrix(vt, paths=paths,
-                           precision=_PRECISIONS[gram_precision])
-        if compute_eigh and probs is not None:
+        gram = gram_any(vt, paths=paths,
+                        precision=_PRECISIONS[gram_precision])
+        if compute_eigh and k_top is not None:
+            from vivit_tpu.eig import topk_eigh
+
+            if probs is not None:
+                from vivit_tpu.deflate import deflated_topk_eigh
+
+                evals, evecs = deflated_topk_eigh(
+                    gram, probs, k_top, solver=solver,
+                    lobpcg_iters=lobpcg_iters,
+                )
+            else:
+                evals, evecs = topk_eigh(gram, k_top, solver=solver,
+                                         lobpcg_iters=lobpcg_iters)
+        elif compute_eigh and probs is not None:
             from vivit_tpu.deflate import deflated_eigh
 
             evals, evecs = deflated_eigh(gram, probs, backend=eig_backend)
@@ -120,7 +159,7 @@ def _derivatives_stage1_impl(
         else:
             evals, evecs = None, None
         grad_leaves = [leaf for _, leaf in select_paths(grads, paths)]
-        v_t_g = vt_mat_prod(vt, grad_leaves, paths=paths)
+        v_t_g = vt_mat_prod_any(vt, grad_leaves, paths)
         per_group.append((gram, evals, evecs, v_t_g))
     return vt, tuple(per_group)
 

@@ -80,6 +80,44 @@ def _mask_vt(vt, mask):
     )
 
 
+def _scale_cols_mixed(vt, scale):
+    """Scale the columns of a *mixed* ``Vᵀ`` dict (engine-agnostic).
+
+    ``scale`` is a scalar (global rescale) or a per-sample ``[S]`` vector
+    (sub-sampling mask).  DenseFactor carries the scale on ``δ`` (``z`` is
+    shared across columns), ConvVT on its materialized block; generic
+    leaves broadcast over the trailing parameter axes.
+    """
+    from vivit_tpu.structured import DenseFactor
+    from vivit_tpu.tapped import ConvVT
+
+    s = jnp.asarray(scale)
+
+    def per_sample(leaf_rank_from_s):
+        # reshape [S] to broadcast at the sample axis of a [CF, S, ...] leaf
+        return jnp.reshape(s, (1, -1) + (1,) * leaf_rank_from_s)
+
+    out = {}
+    for p, leaf in vt.items():
+        if isinstance(leaf, DenseFactor):
+            f = s if s.ndim == 0 else per_sample(leaf.delta.ndim - 2)
+            out[p] = DenseFactor(z=leaf.z, delta=leaf.delta * f)
+        elif isinstance(leaf, ConvVT):
+            f = s if s.ndim == 0 else per_sample(leaf.vt.ndim - 2)
+            out[p] = ConvVT((leaf.vt * f).astype(leaf.vt.dtype),
+                            leaf.kernel_shape)
+        else:
+            f = s if s.ndim == 0 else per_sample(leaf.ndim - 2)
+            out[p] = leaf * f
+    return out
+
+
+def _num_cols_mixed(leaf) -> int:
+    """Column count ``CF·S`` of one mixed-dict leaf."""
+    return (leaf.num_cols if hasattr(leaf, "num_cols")
+            else leaf.shape[0] * leaf.shape[1])
+
+
 def sharded_gram(v_local: jnp.ndarray, axis_name: str = DEFAULT_AXIS,
                  precision=None) -> jnp.ndarray:
     """Global Gram of device-sharded ``V`` columns (inside ``shard_map``).
@@ -239,14 +277,23 @@ def eigvalsh_dp_structured(
     eig_backend: str = "xla",
     deflate_ce_null: bool = False,
     return_eig_info: bool = False,
+    engine: str = "tapped",
+    conv_vt_dtype=None,
 ) -> Callable:
-    """Data-parallel eigenvalues with the Dense fast path (flax models).
+    """Data-parallel eigenvalues with the structured fast path (flax models).
 
     Dense ``(z, δ)`` factors are tiny, so their global Gram blocks are built
     from one ``all_gather`` of the factors (communication ≪ resharding the
-    materialized ``V``); only the generic (conv) leaves go through the
-    all_to_all + psum pipeline.  Column order is ``(device, cf, n_local)`` on
-    both parts — consistent with :func:`eigvalsh_dp`.
+    materialized ``V``); the generic leaves AND the tapped engine's
+    materialized conv blocks (big) go through the all_to_all + psum
+    pipeline.  Column order is ``(device, cf, n_local)`` on both parts —
+    consistent with :func:`eigvalsh_dp`.
+
+    ``engine="tapped"`` (default) runs the round-4 fast V-transform
+    per shard (one batched backward + patch-matmul conv blocks,
+    :mod:`vivit_tpu.tapped`); ``engine="vjp"`` is the generic fallback.
+    ``conv_vt_dtype`` stores the materialized conv blocks demoted (e.g.
+    ``jnp.bfloat16``) before the Gram collectives.
 
     ``group_paths`` (block-diagonal protocol) makes the result a tuple of
     eigenvalue vectors; ``subsampling`` takes *global* sample indices with
@@ -266,7 +313,7 @@ def eigvalsh_dp_structured(
     """
     from vivit_tpu.eig import full_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
-    from vivit_tpu.structured import DenseFactor, structured_ggn_sqrt_vt
+    from vivit_tpu.structured import structured_ggn_sqrt_vt
 
     check_subsampling_unique(subsampling)
     if deflate_ce_null:
@@ -288,7 +335,7 @@ def eigvalsh_dp_structured(
                 module, variables, loss, X_l, y_l,
                 mc_samples=mc_samples, key=key, sample_ids=ids,
                 deflate_ce_null=deflate_ce_null,
-                engine="vjp",  # DP Gram/scale plumbing predates ConvVT
+                engine=engine, conv_vt_dtype=conv_vt_dtype,
             )
             # structured_ggn_sqrt_vt used the *local* scale √(1/n_local);
             # rescale columns to the global √ρ(n_global) convention
@@ -304,14 +351,7 @@ def eigvalsh_dp_structured(
                 mask = jnp.isin(ids, jnp.asarray(subsampling)).astype(
                     jnp.float32
                 )
-                vt = {
-                    p: (DenseFactor(z=leaf.z,
-                                    delta=leaf.delta * mask[None, :, None])
-                        if isinstance(leaf, DenseFactor)
-                        else leaf * jnp.reshape(
-                            mask, (1, -1) + (1,) * (leaf.ndim - 2)))
-                    for p, leaf in vt.items()
-                }
+                vt = _scale_cols_mixed(vt, mask)
             if deflate_ce_null:
                 zeros = jnp.zeros((n_global,), jnp.float32)
 
@@ -498,8 +538,12 @@ def eigh_dp(
 
         return jax.jit(fn)
 
-    # criterion path (single-pass): Gram once → host eigh + filter →
-    # back-projection with the selected Gram eigenvectors passed in
+    # criterion path (single-pass): ONE Vᵀ transform — the first program
+    # returns the global Gram AND this shard's V rows; the V rows stay
+    # device-resident (sharded on the mesh axis) and feed the projection
+    # program after the host eigh + filter.  The reference computes V once
+    # per backward and reuses it the same way (vivit/linalg/eigh.py:239-270);
+    # round-4 paid the transform twice here (VERDICT r4 task 4).
     from vivit_tpu.eig import full_eigh
 
     backend = {"eigh": "xla", "dc": "dc"}.get(solver)
@@ -511,29 +555,30 @@ def eigh_dp(
 
     def per_shard_gram(params, X_l, y_l, key):
         with jax.default_matmul_precision(precision):
-            return sharded_gram(shard_vt(params, X_l, y_l, key), axis_name)
+            v_local = shard_vt(params, X_l, y_l, key)
+            return sharded_gram(v_local, axis_name), v_local
 
     gram_fn = jax.jit(
         jax.shard_map(
             per_shard_gram,
             mesh=mesh,
             in_specs=(P(), P(axis_name), P(axis_name), P()),
-            out_specs=P(),
+            out_specs=(P(), P(axis_name)),
             check_vma=False,
         )
     )
     eigh_fn = jax.jit(lambda g: full_eigh(g, backend=backend,
                                           return_info=True))
 
-    def per_shard_project(params, X_l, y_l, key, evecs_sel):
+    def per_shard_project(v_local, evecs_sel):
         with jax.default_matmul_precision(precision):
-            return shard_project(shard_vt(params, X_l, y_l, key), evecs_sel)
+            return shard_project(v_local, evecs_sel)
 
     project_fn = jax.jit(  # one compile per distinct selection count
         jax.shard_map(
             per_shard_project,
             mesh=mesh,
-            in_specs=(P(), P(axis_name), P(axis_name), P(), P()),
+            in_specs=(P(axis_name), P()),
             out_specs=P(),
             check_vma=False,
         )
@@ -542,7 +587,7 @@ def eigh_dp(
     def fn(params, X, y, key=None):
         import numpy as np
 
-        gram = gram_fn(params, X, y, key)
+        gram, v_sharded = gram_fn(params, X, y, key)
         evals_all, evecs_all, info = eigh_fn(gram)
         evals_np = np.asarray(evals_all)
         if bool(info["tripped"]):
@@ -560,12 +605,171 @@ def eigh_dp(
         keep = np.asarray(criterion(evals_np), dtype=np.intp)
         if warn_small_eigvals is not None:
             warn_if_small(evals_np[keep], warn_small_eigvals)
-        e_par = project_fn(params, X, y, key, evecs_all[:, keep])
+        e_par = project_fn(v_sharded, evecs_all[:, keep])
         out = (jnp.asarray(evals_np[keep]), stack_evecs(e_par, params,
                                                         len(keep)))
         return (*out, info) if return_eig_info else out
 
     return fn
+
+
+def directional_derivatives_dp(
+    model_fn,
+    loss: Loss,
+    mesh: Mesh,
+    k_top: int,
+    *,
+    mc_samples: int = 0,
+    axis_name: str = DEFAULT_AXIS,
+    precision: str = "highest",
+    group_paths: Optional[Sequence[Sequence[str]]] = None,
+    subsampling_grad: Optional[Sequence[int]] = None,
+    subsampling_ggn: Optional[Sequence[int]] = None,
+    solver: str = "eigh",
+    deflate_ce_null: bool = False,
+    return_eig_info: bool = False,
+) -> Callable:
+    """Build a jitted data-parallel directional-derivatives function.
+
+    The multi-chip counterpart of
+    :func:`vivit_tpu.optim.directional_derivatives_topk` (reference surface:
+    ``DirectionalDerivativesComputation``,
+    vivit/optim/directional_derivatives.py:24-364) — round 4 computed γ/λ
+    only *inside* :func:`newton_step_dp`; this builder returns them.
+
+    ``fn(params, X, y, key) -> (evals [k], gammas [N_global, k],
+    lambdas [N_global, k])``: per-chip ``Vᵀ`` and per-sample gradients, ICI
+    Gram allreduce, replicated top-``k`` eigensolve; **γ and λ come back
+    SHARDED along the batch axis of the mesh** (global sample order — the
+    SURVEY §5 prescription: per-sample results stay sharded with the batch;
+    fetch or ``jax.device_get`` only what you consume).
+
+    ``subsampling_grad`` / ``subsampling_ggn`` take *global* sample indices
+    (dual sub-sampling, reference dir_derivatives.py:32-35); rows of
+    non-selected samples are exact zeros (static-shape DP semantics —
+    :func:`newton_step_dp`).  ``group_paths``: per-group results as tuples.
+    ``deflate_ce_null`` (exact CE only): collectives and the eigensolver
+    shrink to ``(C−1)·N``; γ/λ are exact (:func:`newton_step_dp` semantics).
+
+    ``return_eig_info``: also return the eigensolver's in-band guard info.
+    """
+    if loss.reduction != "mean":
+        raise ValueError(
+            "Directional derivatives require reduction='mean' "
+            "(same restriction as the reference)."
+        )
+    check_subsampling_unique(subsampling_grad)
+    check_subsampling_unique(subsampling_ggn)
+    from vivit_tpu.eig import topk_eigh
+    from vivit_tpu.utils.tree import select_paths
+
+    if deflate_ce_null:
+        from vivit_tpu.deflate import check_deflatable
+
+        check_deflatable(loss, mc_samples)
+
+    def group_block(vt, g_local, paths, ids, n_local, n_global, dev):
+        """(evals, γ_local, λ_local, info) for one parameter block."""
+        s_ggn = n_global if subsampling_ggn is None else len(subsampling_ggn)
+
+        v_local = _flatten_vt(vt, paths)  # [cols_local, D_g]
+        cols_local = v_local.shape[0]
+        gram = sharded_gram(v_local, axis_name)  # replicated
+        evals_sel, evecs_sel, eig_info = topk_eigh(
+            gram, k_top, solver=solver, return_info=True
+        )
+
+        # parameter-space directions: e_k = V ẽ_k / √λ̃  (psum over shards)
+        rows = jax.lax.dynamic_slice_in_dim(
+            evecs_sel, dev * cols_local, cols_local, axis=0
+        )
+        e_par = jax.lax.psum(v_local.T @ rows, axis_name)  # [D_g, K]
+        e_par = e_par / jnp.sqrt(evals_sel)[None, :]
+
+        # γ: local per-sample gradients (unscaled) against replicated e_k
+        gammas_local = g_local @ e_par  # [n_local, K]
+        if subsampling_grad is not None:
+            mask_g = jnp.isin(ids, jnp.asarray(subsampling_grad))
+            gammas_local = gammas_local * mask_g[:, None].astype(jnp.float32)
+
+        # λ: V rows carry √(1/S_ggn) → λ_n = S_ggn·‖V_nᵀ e‖²; masked
+        # (non-selected) samples contribute exact zeros
+        cf = cols_local // n_local
+        v3 = v_local.reshape(cf, n_local, -1)
+        proj = jnp.einsum("cnd,dk->cnk", v3, e_par)  # [cf, n_local, K]
+        lambdas_local = s_ggn * jnp.sum(proj**2, axis=0)  # [n_local, K]
+        return evals_sel, gammas_local, lambdas_local, eig_info
+
+    def per_shard(params, X_l, y_l, key):
+        with jax.default_matmul_precision(precision):
+            n_local = X_l.shape[0]
+            k = jax.lax.axis_size(axis_name)
+            n_global = n_local * k
+            dev = jax.lax.axis_index(axis_name)
+            ids = dev * n_local + jnp.arange(n_local)
+            scale, mask = _dp_column_scale(loss, n_global, subsampling_ggn, ids)
+
+            vt = ggn_sqrt_vt(
+                model_fn, loss, params, X_l, y_l,
+                mc_samples=mc_samples, key=key,
+                column_scale=scale, sample_ids=ids,
+                deflate_ce_null=deflate_ce_null,
+            )
+            first = next(iter(jax.tree_util.tree_leaves(vt)))
+            if subsampling_ggn is not None and (
+                k_top > len(subsampling_ggn) * first.shape[0]
+            ):
+                raise ValueError(
+                    f"k_top={k_top} exceeds the sub-sampled GGN rank "
+                    f"|S|·CF = {len(subsampling_ggn) * first.shape[0]}."
+                )
+            if k_top > first.shape[0] * n_global:
+                raise ValueError(
+                    f"k_top={k_top} exceeds the Gram rank CF·N = "
+                    f"{first.shape[0] * n_global}"
+                    + (" (deflated)" if deflate_ce_null else "")
+                )
+            if mask is not None:
+                vt = _mask_vt(vt, mask)
+
+            grads = batch_grad(model_fn, loss, params, X_l, y_l,
+                               batch_size=n_global)
+            grads = jax.tree_util.tree_map(lambda g: g * n_global, grads)
+
+            if group_paths is None:
+                g_local = _flatten_vt(
+                    jax.tree_util.tree_map(lambda g: g[None], grads)
+                )
+                return group_block(vt, g_local, None, ids, n_local,
+                                   n_global, dev)
+            out = []
+            for paths in group_paths:
+                paths = tuple(paths)
+                g_group = {p: leaf[None]
+                           for p, leaf in select_paths(grads, paths)}
+                g_local = _flatten_vt(g_group, paths)
+                out.append(group_block(vt, g_local, paths, ids, n_local,
+                                       n_global, dev))
+            return (tuple(e for e, _, _, _ in out),
+                    tuple(g for _, g, _, _ in out),
+                    tuple(l for _, _, l, _ in out),
+                    tuple(i for _, _, _, i in out))
+
+    shard_fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
+        # evals replicated; γ/λ sharded with the batch; guard info replicated
+        out_specs=(P(), P(axis_name), P(axis_name), P()),
+        check_vma=False,
+    )
+
+    def fn(params, X, y, key=None):
+        evals, gammas, lambdas, info = shard_fn(params, X, y, key)
+        out = (evals, gammas, lambdas)
+        return (*out, info) if return_eig_info else out
+
+    return jax.jit(fn)
 
 
 def newton_step_dp(
@@ -783,11 +987,14 @@ def _structured_gram_dp(vt, rescale, axis_name, generic_precision,
     """Global Gram of a mixed (factored + generic) shard ``Vᵀ``.
 
     Dense ``(z, δ)`` factors are tiny → one ``all_gather`` each; generic
-    leaves ride the all_to_all + psum pipeline.  Column order is
-    ``(device, cf, n_local)`` on both parts (matches :func:`sharded_gram`).
-    ``paths`` restricts the contributing leaves (block-diagonal groups).
+    leaves AND materialized conv blocks (:class:`vivit_tpu.tapped.ConvVT` —
+    big, like generic leaves) ride the all_to_all + psum pipeline.  Column
+    order is ``(device, cf, n_local)`` on both parts (matches
+    :func:`sharded_gram`).  ``paths`` restricts the contributing leaves
+    (block-diagonal groups).
     """
     from vivit_tpu.structured import DenseFactor
+    from vivit_tpu.tapped import ConvVT
 
     gram = None
     generic_mats = []
@@ -805,6 +1012,8 @@ def _structured_gram_dp(vt, rescale, axis_name, generic_precision,
             g = dd * zz[:, None, :, :, None, :]
             g = jnp.reshape(g, (kk * cf * s_l, kk * cf * s_l))
             gram = g if gram is None else gram + g
+        elif isinstance(leaf, ConvVT):
+            generic_mats.append(leaf._flat() * rescale)
         else:
             cf, s_l = leaf.shape[:2]
             generic_mats.append(jnp.reshape(leaf * rescale, (cf * s_l, -1)))
@@ -830,14 +1039,19 @@ def newton_step_dp_structured(
     gram_precision: str = None,
     solver: str = "eigh",
     deflate_ce_null: bool = False,
+    engine: str = "tapped",
+    conv_vt_dtype=None,
 ) -> Callable:
-    """Data-parallel damped-Newton step with the Dense fast path (flax).
+    """Data-parallel damped-Newton step with the structured fast path (flax).
 
     The multi-chip counterpart of
     :func:`vivit_tpu.structured.newton_step_structured`: dense kernels keep
     their Kronecker ``(z, δ)`` factorization per shard — their global Gram
     blocks come from one ``all_gather`` of the tiny factors, back-projection
     and ``Vᵀg`` stay factored per shard and are ``psum``-assembled.
+    ``engine="tapped"`` (default) builds the per-shard ``Vᵀ`` with the fast
+    tapped engine (patch-matmul ConvVT blocks riding the all_to_all + psum
+    Gram pipeline); ``engine="vjp"`` is the generic fallback.
 
     ``fn(variables, X, y, key) -> (evals [k], step pytree like params)``.
 
@@ -855,7 +1069,6 @@ def newton_step_dp_structured(
     from vivit_tpu.eig import topk_eigh
     from vivit_tpu.linalg.eigvalsh import _PRECISIONS
     from vivit_tpu.structured import (
-        DenseFactor,
         structured_ggn_sqrt_vt,
         v_mat_prod_mixed,
         vt_mat_prod_mixed,
@@ -885,17 +1098,13 @@ def newton_step_dp_structured(
                 module, variables, loss, X_l, y_l,
                 mc_samples=mc_samples, key=key, sample_ids=ids,
                 deflate_ce_null=deflate_ce_null,
-                engine="vjp",  # DP Gram/scale plumbing predates ConvVT
+                engine=engine, conv_vt_dtype=conv_vt_dtype,
             )
             # local √(1/n_local) column scale → global √ρ(n_global)
             rescale = jnp.sqrt(
                 jnp.asarray(loss.rho(n_global) / loss.rho(n_local) * 1.0)
             )
-            vt = {
-                p: (DenseFactor(z=leaf.z, delta=leaf.delta * rescale)
-                    if isinstance(leaf, DenseFactor) else leaf * rescale)
-                for p, leaf in vt.items()
-            }
+            vt = _scale_cols_mixed(vt, rescale)
 
             gram = _structured_gram_dp(vt, 1.0, axis_name, gp)
             if k_top > gram.shape[0]:
@@ -907,9 +1116,7 @@ def newton_step_dp_structured(
             evals_sel, evecs_sel = topk_eigh(gram, k_top, solver=solver)
 
             # this chip's ẽ rows (global column order is (device, cf, n))
-            first = vt[paths[0]]
-            cols_local = (first.num_cols if isinstance(first, DenseFactor)
-                          else first.shape[0] * first.shape[1])
+            cols_local = _num_cols_mixed(vt[paths[0]])
             cf = cols_local // n_local
             rows = jax.lax.dynamic_slice_in_dim(
                 evecs_sel, dev * cols_local, cols_local, axis=0

@@ -55,3 +55,49 @@ def check_subsampling_unique(subsampling: Optional[Sequence[int]]) -> None:
     if subsampling is not None:
         if len(set(subsampling)) != len(subsampling):
             raise ValueError(f"Subsampling indices must be unique. Got {subsampling}.")
+
+
+def check_model_fn(model_fn, params, X, rtol: float = 5e-5,
+                   atol: float = 1e-6) -> None:
+    """Opt-in guard: the V-transform's forward must be deterministic and
+    per-sample separable.
+
+    ``ggn_sqrt_vt`` assumes ``f(params, X)[n]`` depends only on sample ``n``
+    (the per-sample vjp IS the GGN factor only then) and that two
+    evaluations agree (stochastic layers silently produce a wrong GGN).
+    Mirrors the reference's hessianfree determinism self-check semantics
+    (vivit/hessianfree/__init__.py:91-134, rtol=5e-5/atol=1e-6) extended
+    with a separability probe — the failure the reference guards against
+    only on its matrix-free path (train-mode Dropout/BatchNorm) corrupts
+    the Gram pipeline too.
+
+    Raises ``RuntimeError`` (loud, like the reference) on violation.
+    Eager/host-side: run once per (model, data) configuration, not inside
+    a jitted step.
+    """
+    import numpy as np
+
+    f1 = np.asarray(model_fn(params, X))
+    f2 = np.asarray(model_fn(params, X))
+    if not np.allclose(f1, f2, rtol=rtol, atol=atol):
+        raise RuntimeError(
+            "Check for deterministic model failed: two forward evaluations "
+            "disagree (max dev "
+            f"{float(np.max(np.abs(f1 - f2))):.2e}). Stochastic layers "
+            "(train-mode Dropout) make the GGN factors ill-defined — "
+            "evaluate the model deterministically, as the reference "
+            "requires (vivit/hessianfree/__init__.py:91-134)."
+        )
+    n = X.shape[0]
+    for i in (0, n - 1):
+        fi = np.asarray(model_fn(params, X[i:i + 1]))[0]
+        if not np.allclose(fi, f1[i], rtol=rtol, atol=atol):
+            raise RuntimeError(
+                "Per-sample separability check failed: f(params, X)[n] != "
+                "f(params, X[n:n+1])[0] (max dev "
+                f"{float(np.max(np.abs(fi - f1[i]))):.2e} at sample {i}). "
+                "Batch-coupled layers (train-mode BatchNorm, batch-shaped "
+                "Dropout masks) break the per-sample Jacobian the GGN "
+                "factorization needs — use eval mode, like the reference's "
+                "BatchNorm(eval) restriction."
+            )
