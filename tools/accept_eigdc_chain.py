@@ -38,6 +38,12 @@ CONFIGS = {
     "dm=(1,1,0),ns5": {"dm_iters": (1, 1, 0), "ns_global": 5},
     "dm=(0,0,0),ns4,dmns1": {"dm_iters": (0, 0, 0), "ns_global": 4,
                              "dm_ns": 1},
+    # round-5 candidates (ladder+tail-merge basis + lean polish)
+    "r5-combo-d": {"bottom": 96, "wj_iters": (1, 0, 1), "ns_global": 3,
+                   "kpm_tree": 40},
+    "r5-combo-e": {"bottom": 96, "wj_iters": (1, 0, 0), "ns_global": 3,
+                   "kpm_tree": 40},
+    "r5-ladder-off": {"ladder": False},
 }
 
 

@@ -111,6 +111,23 @@ def main():
         "combo-c": {"bottom": 160, "wj_iters": (1, 0, 1)},
         "combo-b(guarded)": {"bottom": 160, "wj_iters": (1, 0, 1),
                              "ns_global": 3, "kpm_tree": 40, "guard": 1e-4},
+        # round-5c: structural attribution + bottom/sign trims + stacks
+        "ladder=off": {"ladder": False},
+        "tail=off": {"tail_merge": False},
+        "bottom=96": {"bottom": 96},
+        "bottom=0": {"bottom": 0},
+        "sign(8,3)": {"sign_iters_root": (8, 3), "sign_iters": (8, 3)},
+        "sign(7,3)": {"sign_iters_root": (7, 3), "sign_iters": (7, 3)},
+        "orth(7,2)": {"orth_iters": (7, 2)},
+        "combo-d": {"bottom": 96, "wj_iters": (1, 0, 1), "ns_global": 3,
+                    "kpm_tree": 40},
+        "combo-e": {"bottom": 96, "wj_iters": (1, 0, 0), "ns_global": 3,
+                    "kpm_tree": 40},
+        "combo-f": {"bottom": 96, "wj_iters": (1, 0, 0), "ns_global": 3,
+                    "kpm_tree": 40, "sign_iters_root": (8, 3),
+                    "sign_iters": (8, 3)},
+        "combo-e(guarded)": {"bottom": 96, "wj_iters": (1, 0, 0),
+                             "ns_global": 3, "kpm_tree": 40, "guard": 1e-4},
     }
     if args.configs:
         names = args.configs.split(",")

@@ -205,6 +205,15 @@ def _kpm_cdf(B, key, degree: int = 96, probes: int = 8):
     """Jackson-damped KPM eigenvalue-count CDF of B on [-0.05, 1.05].
 
     Returns ``(grid [G], cdf [G])`` with ``cdf`` monotone.
+
+    Sequential-depth optimization (round 5): the Chebyshev recurrence only
+    runs to ``degree//2 + 1`` — the upper half of the moment ladder comes
+    from the product identity ``T_{m+n} = 2·T_m·T_n − T_{|m−n|}``, giving
+    ``z'T_{2k}z = 2(T_k z)'(T_k z) − μ₀`` and
+    ``z'T_{2k+1}z = 2(T_{k+1}z)'(T_k z) − μ₁`` — exact algebra (identical
+    moments up to f32 rounding), at HALF the sequential skinny-matmul
+    chain.  The KPM scan is pure latency on TPU (64 dependent ``[n,8]``
+    matmuls), so this halves a depth cost in every split.
     """
     n = B.shape[0]
     lo, hi = -0.05, 1.05
@@ -215,13 +224,33 @@ def _kpm_cdf(B, key, degree: int = 96, probes: int = 8):
     mu0 = jnp.sum(Z * Z) / probes
     mu1 = jnp.sum(Z * T1) / probes
 
+    half = degree // 2  # recurrence top index: T_0 .. T_{half+1}
+
     def step(carry, _):
         Tm1, T = carry
         Tn = 2.0 * (_mm(B, T, _MID) - c * T) / h - Tm1
-        return (T, Tn), jnp.sum(Z * Tn) / probes
+        # emit (low moment <T_0, T_n>, self <T_n, T_n>, cross <T_{n-1}, T_n>)
+        return (T, Tn), (jnp.sum(Z * Tn) / probes,
+                         jnp.sum(Tn * Tn) / probes,
+                         jnp.sum(T * Tn) / probes)
 
-    _, mus = jax.lax.scan(step, (Z, T1), None, length=degree - 1)
-    mu = jnp.concatenate([jnp.stack([mu0, mu1]), mus])  # [degree+1]
+    _, (mus_lo, mus_self, mus_cross) = jax.lax.scan(
+        step, (Z, T1), None, length=half
+    )
+    # low half: mu_2 .. mu_{half+1} directly from the recurrence
+    # high half: mu_{2k} = 2<T_k,T_k> - mu_0  (k = 1..half via T_1's self
+    # term prepended), mu_{2k+1} = 2<T_k,T_{k+1}> - mu_1
+    mu_even = 2.0 * mus_self - mu0          # mu_4, mu_6, ... mu_{2(half+1)}
+    mu_odd = 2.0 * mus_cross - mu1          # mu_3, mu_5, ... mu_{2half+1}
+    # ascending interleave: pair i holds (mu_{2i+3}, mu_{2i+4})
+    hi_pairs = jnp.stack([mu_odd, mu_even], axis=1).reshape(-1)
+    mu2 = 2.0 * jnp.sum(T1 * T1) / probes - mu0
+    mu_all = jnp.concatenate([jnp.stack([mu0, mu1, mu2]), hi_pairs])
+    mu = mu_all[: degree + 1]
+    # keep the directly-recurred low moments where available (identical in
+    # exact arithmetic; the recurrence values are the validated baseline)
+    lo_direct = jnp.concatenate([jnp.stack([mu0, mu1]), mus_lo])
+    mu = mu.at[: half + 2].set(lo_direct[: half + 2])
 
     j = jnp.arange(degree + 1, dtype=_F32)
     dpi = jnp.pi / (degree + 1)
@@ -462,6 +491,8 @@ def _bottom_block(Bt, Q, nb: int):
     """Exact solve of the bottom (de-skew-squashed) diagonal block."""
     n = Bt.shape[0]
     nb = min(nb, n)
+    if nb <= 0:
+        return Bt, Q
     sub = Bt[:nb, :nb]
     _, V = _leaf_eigh(sub[None])
     Bt, Q = _apply_blockdiag(Bt, Q, V, 0, nb, nb)
@@ -482,6 +513,8 @@ def _top_block(Bt, Q, nb: int):
     """
     n = Bt.shape[0]
     nb = min(nb, n)
+    if nb <= 0:
+        return Bt, Q
     sub = Bt[n - nb:, n - nb:]
     _, V = _leaf_eigh(sub[None])
     Bt, Q = _apply_blockdiag(Bt, Q, V, n - nb, n, nb)
@@ -562,11 +595,191 @@ def _strip_basis(H, count, key, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.concatenate([Qz, Qt], axis=1), jnp.concatenate([mz, masks_t])
 
 
+def _ladder(H, count, key, cfg, depth0: int = 0
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Level-synchronous chain basis: the round-5 sequential-depth attack.
+
+    Same algorithm as the recursive ``_basis`` chain (zoom chain on H-space
+    recompressions + de-skewed top subtrees), restructured so each level
+    runs ONE batched split over every same-size node — the zoom node and
+    all tree nodes of that size together — instead of the recursion's
+    program-order sequence (zoom split, then each subtree's splits
+    separately).  At n=1152/base=160 this is 4 split stages instead of 9
+    and 2 leaf-eigh batches instead of 4.  The solver is latency-bound,
+    not FLOP-bound (~160 matmul-equivalents ≈ 15 ms of MXU time vs ~38 ms
+    measured): every split stage is a ~100-deep chain of small dependent
+    kernels (KPM scan, sign/orth polynomial iterations), so stage COUNT is
+    the cost model.  Batching also widens the per-kernel work
+    ([b,m,m] vmapped matmuls), improving MXU utilization.
+
+    Numerically the per-node math is identical to the recursion (vmapped
+    ``_split``/``_orth_px``/``_compress`` with the same iteration counts
+    and clips); only the PRNG key schedule and the eager root-space lifts
+    differ (lift FLOP surplus ~3 GFLOP at 1152 ≈ 0.2 ms, bought back many
+    times over in depth).  Validated by the same f64 acceptance ladder as
+    the recursion (tools/accept_eigdc_chain.py).
+
+    ``depth0``: chain-budget offset (the strip path enters its bulk child
+    at depth 1).
+    """
+    n = H.shape[0]
+    prec = cfg["basis_prec"]
+    qp = prec or cfg["q_prec"]
+
+    # zoom state (H-space): matrix, root-space lift, valid count
+    Hz, lift_z, count_z = H, None, count  # lift None = identity at root
+    # tree state (de-skewed nodes): [b, m, m], counts [b], lifts [b, n, m]
+    TB = TC = TL = None
+
+    q_parts, m_parts = [], []
+    level = depth0
+    m = n
+    while True:
+        kc = m // 2 + _margin(m)
+        k_lvl, k_dsk, k_zoom, k_leaf, key = jax.random.split(key, 5)
+        zoom_live = Hz is not None
+
+        if zoom_live:
+            s = _power_norm(Hz, k_dsk)
+            Bz = _deskew(Hz, s, k_dsk, prec=prec or cfg["deskew_prec"],
+                         terms=3 if level > 0 else (cfg["deskew_terms"] or 3))
+            nodes = Bz[None] if TB is None else jnp.concatenate(
+                [Bz[None], TB], axis=0)
+            counts_all = (jnp.asarray([count_z]) if TC is None
+                          else jnp.concatenate(
+                              [jnp.asarray([count_z]), TC]))
+        else:
+            nodes, counts_all = TB, TC
+        bsz = nodes.shape[0]
+        sign_it = cfg["sign_root"] if level == 0 else cfg["sign"]
+        keys_b = jax.random.split(k_lvl, bsz)
+
+        def split_one(B, c, kk):
+            P, W, PW, r, _, _ = _split(B, c, kk, sign_it, kc,
+                                       kpm_degree=cfg["kpm"], prec=prec)
+            return P, W, PW, r
+        P, W, PW, r = jax.vmap(split_one)(nodes, counts_all, keys_b)
+
+        # ---- panel assembly: zoom bottom capture + top/child panels ----
+        # per node i: panel pair (bottom_i, top_i).  For the zoom node the
+        # bottom panel is the H-space λ-weighted capture; for tree nodes it
+        # is PW (de-skewed space).  Top panels are W - PW everywhere.
+        if zoom_live:
+            Om = jax.random.normal(k_zoom, (m, kc), _F32) / np.sqrt(m)
+            Wz = _mm(P[0], _mm(Hz, _mm(P[0], Om, prec), prec), prec)
+            bottoms = jnp.concatenate([Wz[None], PW[1:]], axis=0)
+        else:
+            bottoms = PW
+        panels = jnp.concatenate([bottoms, W - PW], axis=0)  # [2b, m, kc]
+        Y = jax.vmap(lambda p: _orth_px(p, *cfg["orth"], prec=prec))(panels)
+        Yb, Yt = Y[:bsz], Y[bsz:]
+
+        # ---- compressions ----
+        # zoom bottom against Hz (H-space); everything else against its B
+        mats_b = jnp.concatenate([Hz[None], nodes[1:]], axis=0) \
+            if zoom_live else nodes
+        Cb = jax.vmap(lambda y, M: _compress(y, M, prec))(Yb, mats_b)
+        Ct = jax.vmap(lambda y, M: _compress(y, M, prec))(Yt, nodes)
+
+        # ---- counts ----
+        if zoom_live:
+            r0 = jnp.clip(r[0], jnp.maximum(0, count_z - kc), count_z)
+            rz_next = jnp.minimum(r0, kc)
+            top0 = count_z - r0
+            rt = jnp.clip(r[1:], jnp.maximum(0, counts_all[1:] - kc),
+                          jnp.minimum(counts_all[1:], kc))
+            child_counts = jnp.concatenate(
+                [jnp.asarray([top0]), rt, counts_all[1:] - rt])
+        else:
+            rt = jnp.clip(r, jnp.maximum(0, counts_all - kc),
+                          jnp.minimum(counts_all, kc))
+            child_counts = jnp.concatenate([rt, counts_all - rt])
+
+        # ---- lifts to root space ----
+        if zoom_live:
+            if lift_z is None:  # root level: lifts ARE the panels
+                lz_next = Yb[0]
+                tree_lifts_new = Yt[0:1]
+            else:
+                lz_next = _mm(lift_z, Yb[0], qp)
+                tree_lifts_new = _mm(lift_z, Yt[0], qp)[None]
+            if TL is not None:
+                lifted_b = jax.vmap(lambda L, y: _mm(L, y, qp))(TL, Yb[1:])
+                lifted_t = jax.vmap(lambda L, y: _mm(L, y, qp))(TL, Yt[1:])
+                TL_next = jnp.concatenate(
+                    [tree_lifts_new, lifted_b, lifted_t], axis=0)
+                TB_next = jnp.concatenate([Ct[0:1], Cb[1:], Ct[1:]], axis=0)
+            else:
+                TL_next = tree_lifts_new
+                TB_next = Ct[0:1]
+        else:
+            lifted_b = jax.vmap(lambda L, y: _mm(L, y, qp))(TL, Yb)
+            lifted_t = jax.vmap(lambda L, y: _mm(L, y, qp))(TL, Yt)
+            TL_next = jnp.concatenate([lifted_b, lifted_t], axis=0)
+            TB_next = jnp.concatenate([Cb, Ct], axis=0)
+        TC_next = child_counts
+
+        # ---- zoom descent / tail ----
+        if zoom_live:
+            level_next = level + 1
+            if level_next < cfg["chain"] and kc > int(1.5 * cfg["base"]):
+                Hz, lift_z, count_z = Cb[0], lz_next, rz_next
+            elif cfg["tail_merge"]:
+                # Tail merge (round 5): the recursive design ends the zoom
+                # with ONE exact eigh of the final H-space node — a ~4 ms
+                # single XLA solve at 240² (QDWH fixed cost, measured).
+                # Instead, hand the node to the TREE: de-skew it (its own
+                # ``_power_norm`` top — exactly the zoom-link re-scaling,
+                # so basis errors stay relative to the node's own band
+                # top, which at this depth sits ~2-3 decades below λmax:
+                # error ~1e-4·band_top lands at/below the absolute
+                # tolerance floor) and let it split/leaf-solve batched
+                # with the same-size tree nodes.  Removes a sequential
+                # eigh stage for one batched 240² de-skew (~0.4 ms).
+                if kc > cfg["base"]:
+                    k_leaf2 = jax.random.fold_in(k_leaf, 1)
+                    s_t = _power_norm(Cb[0], k_leaf)
+                    tail = _deskew(Cb[0], s_t, k_leaf2,
+                                   prec=prec or cfg["deskew_prec"], terms=3)
+                else:  # leaf-eigh is exact — no de-skew needed
+                    tail = Cb[0]
+                TB_next = jnp.concatenate([TB_next, tail[None]], axis=0)
+                TC_next = jnp.concatenate(
+                    [TC_next, jnp.asarray([rz_next])])
+                TL_next = jnp.concatenate([TL_next, lz_next[None]], axis=0)
+                Hz = lift_z = None
+            else:
+                evz, Vz = _leaf_eigh(Cb[0][None])
+                Qz = _mm(lz_next, Vz[0], qp)
+                mz = jnp.arange(kc) >= (kc - rz_next)
+                q_parts.append(Qz)
+                m_parts.append(mz)
+                Hz = lift_z = None
+        TB, TC, TL = TB_next, TC_next, TL_next
+
+        m = kc
+        level += 1
+        if m <= cfg["base"]:
+            evals, evecs = _leaf_eigh(TB)  # [b, m, m] ascending
+            lifted = jnp.einsum("bnk,bkj->bnj", TL, evecs,
+                                precision=qp or _HI)
+            pos = jnp.arange(m)[None, :]
+            masks = pos >= (m - TC[:, None])
+            q_parts.append(jnp.moveaxis(lifted, 0, 1).reshape(n, -1))
+            m_parts.append(masks.reshape(-1))
+            break
+
+    return jnp.concatenate(q_parts, axis=1), jnp.concatenate(m_parts)
+
+
 def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate eigenbasis of H (columns ascending-ish) + validity mask."""
     n = H.shape[0]
     if depth == 0 and n >= (cfg["strip"] or _STRIP_MIN) and cfg["strip"] != 0:
         return _strip_basis(H, count, key, cfg)
+    if cfg["ladder"] and (depth > 0 or n < 2048
+                          or cfg["deskew_terms"] is not None):
+        return _ladder(H, count, key, cfg, depth0=depth)
     k_norm, k_split, k_zoom, k_tree, k_sub, k_dsk = jax.random.split(key, 6)
     prec = cfg["basis_prec"]
     s = _power_norm(H, k_norm)
@@ -630,20 +843,28 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _make_cfg(base=160, chain=6, sign_root=(9, 4), sign=(9, 4), orth=(8, 3),
               kpm=64, basis_prec=None, q_prec=None, deskew_prec=None,
-              deskew_terms=None, strip=None, kpm_tree=None):
+              deskew_terms=None, strip=None, kpm_tree=None, ladder=True,
+              tail_merge=True):
     """Build the internal tuning dict (single source of the key set — the
     profiler/sweep tools construct cfgs too and must not drift).
 
     ``kpm_tree``: KPM degree for the *batched subtree* splits only (the
     zoom-chain and root splits keep ``kpm`` — their σ placement gates the
     capacity clip).  Defaults to ``kpm``.
+
+    ``ladder``: route chain-path bases through the level-synchronous
+    :func:`_ladder` (round-5 sequential-depth attack) instead of the
+    recursive ``_basis``.  Only applies where the two are algorithmically
+    equivalent (3-term de-skew chain sizes); the strip root and the
+    ``strip=0`` legacy deep-map path always use the recursion.
     """
     prec_map = {None: None, "highest": _HI, "high": _MID}
     return {"base": base, "chain": chain, "sign_root": tuple(sign_root),
             "sign": tuple(sign), "orth": tuple(orth), "kpm": kpm,
             "basis_prec": prec_map[basis_prec], "q_prec": prec_map[q_prec],
             "deskew_prec": prec_map[deskew_prec], "deskew_terms": deskew_terms,
-            "strip": strip, "kpm_tree": kpm_tree or kpm}
+            "strip": strip, "kpm_tree": kpm_tree or kpm, "ladder": ladder,
+            "tail_merge": tail_merge}
 
 
 def _no_trip_info() -> dict:
@@ -659,7 +880,7 @@ def eigh_dc(
     chain: int = 6,
     eigenvectors: bool = True,
     dm_iters: Optional[Tuple[int, int, int]] = None,
-    bottom: int = 320,
+    bottom: Optional[int] = None,
     key: Optional[jax.Array] = None,
     guard: Optional[float] = 1e-4,
     return_info: bool = False,
@@ -676,6 +897,8 @@ def eigh_dc(
     strip: Optional[int] = None,
     wj_iters: Optional[Tuple[int, int, int]] = None,
     kpm_tree: Optional[int] = None,
+    ladder: bool = True,
+    tail_merge: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full-spectrum eigendecomposition of a symmetric PSD matrix.
 
@@ -795,7 +1018,19 @@ def eigh_dc(
         if eigenvectors:
             ns_global = 5 if strip_on else 6
         else:
-            ns_global = 4
+            # chain-path evals: ns 3 is part of the round-5 lean combo
+            # (accepted by the f64 ladder at margins <= 0.2)
+            ns_global = 4 if strip_on else 3
+    if bottom is None:
+        # Round-5 chain-path evals combo (tools/sweep_r5.py on the real
+        # deflated 1152 Gram, amortized: default 39.4 -> 30.3 ms; f64
+        # acceptance ladder tools/accept_eigdc_chain.py clean at margins
+        # <= 0.2 incl. the degenerate leg): bottom 96, one windowed
+        # sweep, ns_global 3.  Strip path and eigenvector mode keep the
+        # validated 320/(1,1,1) polish.
+        bottom = 320 if (strip_on or eigenvectors) else 96
+    if wj_iters is None:
+        wj_iters = (1, 1, 1) if (strip_on or eigenvectors) else (1, 0, 0)
     if dm_ns is None:
         if eigenvectors:
             dm_ns = 1 if strip_on else 2
@@ -817,13 +1052,24 @@ def eigh_dc(
     # deskew_prec="high" is parity-safe (0 violations, top-40 1.2e-5) but
     # its ~1.7 ms is inside the ±4 ms variance band.  Neither is a default;
     # per-matmul precision demotion is conclusively NOT the lever.
-    if wj_iters is None:
-        wj_iters = (1, 1, 1)
+    if tail_merge is None:
+        # Mode-split default (round 5, measured): merging the zoom tail
+        # into the tree is VALUE-safe (the tail subtree's basis noise
+        # couples tail columns to far-separated top columns — eigenvalue
+        # effect E²/gap ~ 1e-7·λmax) and fixes the ladder's
+        # clustered-bottom envelope, but the same couplings are
+        # first-order in the VECTORS (residual ‖Hv−λv‖ ≈ E ~ 5e-4·λmax
+        # measured on ggn-like spectra — the tail subtree compresses
+        # against the de-skewed node and never recompresses against H,
+        # unlike the exact tail eigh).  So: merge for eigenvalues, exact
+        # tail eigh for eigenvectors.
+        tail_merge = not eigenvectors
     cfg = _make_cfg(
         base=base, chain=chain, sign_root=tuple(sign_iters_root),
         sign=tuple(sign_iters), orth=tuple(orth_iters), kpm=kpm_degree,
         basis_prec=basis_prec, q_prec=q_prec, deskew_prec=deskew_prec,
         deskew_terms=deskew_terms, strip=strip, kpm_tree=kpm_tree,
+        ladder=ladder, tail_merge=tail_merge,
     )
     # explicit q_prec takes precedence over the blanket basis_prec: the
     # polish-side matmuls (global NS, DM rotations) are the top-band Ritz
