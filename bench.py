@@ -222,6 +222,22 @@ def measure_secondary(repeats):
         "a hidden XLA fallback"
     )
     out["eigdc_guard_tripped_n512"] = 0.0
+
+    # eigenvector-mode at-scale datapoint (VERDICT r4 task 6): top-10
+    # eigenPAIRS on the deflated 4608² Gram through the dc solver — the
+    # one mode whose strip polish keeps the heavy (2,1,1)/ns5 DM ladder.
+    from vivit_tpu.linalg.eigh import eigh_topk
+
+    evec512 = jax.jit(
+        lambda v, X, y: eigh_topk(
+            module, loss, v, X, y, 10,
+            precision="highest", gram_precision="bf16", solver="dc",
+            deflate_ce_null=True,
+        )[0]
+    )
+    out["eigh_topk_k10_evecs_cifar10_3c3d_n512"], _ = _time_amortized(
+        evec512, (variables, X, y), max(3, repeats // 3), chain=3
+    )
     return out
 
 

@@ -1,0 +1,115 @@
+"""f64 acceptance ladder for STRIP-path (n >= 1536) evals-mode configs.
+
+The round-3 lesson: single-matrix tuning overfits — configs clean on the
+4608 bench Gram alone have failed the wider ladder (sign_root (7,3), dm
+(1,0,0)).  Every strip-default candidate must clear ALL gating legs
+against float64 LAPACK oracles at the reference bar (rtol=1e-4,
+atol=5e-6·max(1, λmax)), guard=None so nothing hides behind the fallback.
+
+Legs:
+  * the real deflated N=512 bench Gram (4608², --gram4608),
+  * the real RAW (undeflated) N=512 Gram (5120², --gram5120, optional —
+    10% exact zeros + the flooring profile),
+  * synthetic 5-decade exp-decay at 2048 (seeds 0/3/11 — 11 is the
+    borderline split-count stress seed),
+  * the bench512 quantile profile at 2560 (the round-3b failure regime).
+
+Usage::
+
+    python tools/dump_gram.py --batch 512 --deflate --out /tmp/gram4608.npy
+    python tools/dump_gram.py --batch 512 --out /tmp/gram5120.npy
+    python tools/accept_eigdc_strip.py
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RTOL, ATOL = 1e-4, 5e-6
+
+CONFIGS = {
+    "default": {},
+    "r5-combo-s1": {"ns_global": 3, "wj_iters": (1, 0, 1), "bottom": 160},
+    "r5-combo-s2": {"ns_global": 3, "wj_iters": (1, 0, 0), "bottom": 160},
+}
+
+_BENCH512_QS = [0.0, 0.04, 0.08, 0.12, 0.16, 0.2, 0.24, 0.28, 0.32, 0.36,
+                0.4, 0.44, 0.48, 0.52, 0.56, 0.6, 0.64, 0.68, 0.72, 0.76,
+                0.8, 0.84, 0.88, 0.92, 0.96, 0.97, 0.98, 0.99, 0.995,
+                0.999, 1.0]
+_BENCH512_ANCHORS = [2.0134e-07, 2.58318e-07, 2.81113e-07, 0.00291111,
+                     0.00351954, 0.00410348, 0.00469892, 0.00533082,
+                     0.00600511, 0.00672642, 0.00750231, 0.00832668,
+                     0.00918823, 0.0101112, 0.0110853, 0.0121278,
+                     0.0132795, 0.0145753, 0.016074, 0.0178777, 0.020194,
+                     0.0234804, 0.0290798, 0.0435664, 0.134796, 0.215596,
+                     0.395891, 0.938176, 1.70846, 112.886, 250.119]
+
+
+def _bench512_profile(n):
+    lam = np.interp(np.linspace(0, 1, n), _BENCH512_QS, _BENCH512_ANCHORS)
+    lam[: n // 10] = 0.0
+    return lam
+
+
+def _spectrum_matrix(lam, seed):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((len(lam), len(lam))))
+    return ((Q * lam) @ Q.T).astype(np.float32)
+
+
+def _oracle(A, cache):
+    if cache and os.path.exists(cache):
+        return np.load(cache)
+    ref = np.linalg.eigvalsh(A.astype(np.float64))
+    if cache:
+        np.save(cache, ref)
+    return ref
+
+
+def _check(name, A, fns, cache=None):
+    ref = _oracle(A, cache)
+    tol = ATOL * max(1.0, abs(ref[-1])) + RTOL * np.abs(ref)
+    Ad = jnp.asarray(A)
+    for cfg_name, fn in fns.items():
+        ev = np.sort(np.asarray(fn(Ad)))
+        err = np.abs(ev - ref)
+        print(f"{name:22s} {cfg_name:16s} viol {int((err > tol).sum()):4d}"
+              f"/{len(ref)}  max err/tol {float((err / tol).max()):.3f}",
+              flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gram4608", type=str, default="/tmp/gram4608.npy")
+    ap.add_argument("--gram5120", type=str, default="/tmp/gram5120.npy")
+    args = ap.parse_args()
+
+    from vivit_tpu.eigdc import eigvalsh_dc
+
+    fns = {
+        name: jax.jit(lambda M, kw=kw: eigvalsh_dc(M, guard=None, **kw))
+        for name, kw in CONFIGS.items()
+    }
+
+    if os.path.exists(args.gram4608):
+        _check("real-deflated-4608", np.load(args.gram4608), fns,
+               cache=args.gram4608 + ".f64evals.npy")
+    if os.path.exists(args.gram5120):
+        _check("real-raw-5120", np.load(args.gram5120), fns,
+               cache=args.gram5120 + ".f64evals.npy")
+    for seed in (0, 3, 11):
+        n = 2048
+        lam = np.exp(-np.linspace(0, 11, n)) * 250.0 + 1e-7
+        _check(f"exp-decay-2048-s{seed}", _spectrum_matrix(lam, seed), fns)
+    _check("bench512-2560", _spectrum_matrix(_bench512_profile(2560), 0), fns)
+
+
+if __name__ == "__main__":
+    main()

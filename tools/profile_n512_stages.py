@@ -1,0 +1,110 @@
+"""Stage attribution for the fused N=512 pipeline (VERDICT r4 task 3).
+
+Times cumulative prefixes of the exact headline-config N=512 program
+(tapped engine, factor-level CE deflation, bf16 conv Gram, dc strip
+eigensolve) with the bench amortized protocol, so the gap between the
+fused pipeline and the standalone 4608 eigh is a recorded table instead
+of a hand subtraction.  Stages:
+
+  1. forward + tapped ``Vᵀ`` (deflation is factor-level, inside the
+     transform — measured ~free, docs/design.md round-3d)
+  2. + Gram assembly (``gram_matrix_mixed``, conv blocks bf16)
+  3. + dc strip eigensolve (= the full bench leg)
+
+Usage: ``python tools/profile_n512_stages.py [--batch 512]``
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _scalarize(out):
+    return sum(
+        jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+        for leaf in jax.tree_util.tree_leaves(out)
+        if hasattr(leaf, "astype")
+    )
+
+
+def _amortized_ms(fn, args, reps=3, chain=3):
+    out = np.asarray(fn(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            r = fn(*args)
+        out = np.asarray(r)
+        ts.append((time.perf_counter() - t0) / chain * 1e3)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import vivit_tpu as vt
+    from vivit_tpu.linalg.eigvalsh import _PRECISIONS
+    from vivit_tpu.models import CNN3c3d
+    from vivit_tpu.structured import (
+        eigvalsh_structured, gram_matrix_mixed, structured_ggn_sqrt_vt,
+    )
+
+    C = 10
+    module = CNN3c3d(C)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.ones((1, 32, 32, 3), jnp.float32))
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(args.batch, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(args.batch,)), jnp.int32)
+    loss = vt.CrossEntropyLoss("mean")
+    print(f"device={jax.devices()[0].platform}  batch={args.batch} "
+          f"(gram {(C-1)*args.batch}^2 deflated)")
+
+    @jax.jit
+    def stage_vt(v, X, y):
+        with jax.default_matmul_precision("highest"):
+            return _scalarize(structured_ggn_sqrt_vt(
+                module, v, loss, X, y, deflate_ce_null=True))
+
+    @jax.jit
+    def stage_gram(v, X, y):
+        with jax.default_matmul_precision("highest"):
+            vt_mixed = structured_ggn_sqrt_vt(
+                module, v, loss, X, y, deflate_ce_null=True)
+            return _scalarize(gram_matrix_mixed(
+                vt_mixed, generic_precision=_PRECISIONS["bf16"]))
+
+    @jax.jit
+    def stage_full(v, X, y):
+        return eigvalsh_structured(
+            module, v, loss, X, y, precision="highest",
+            gram_precision="bf16", eig_backend="dc", deflate_ce_null=True,
+        )[0]
+
+    # amortized dispatch floor for reference
+    tiny = jax.jit(lambda x: x + 1.0)
+    floor = _amortized_ms(tiny, (jnp.zeros((8,), jnp.float32),),
+                          reps=args.reps)
+    print(f"dispatch floor {floor:8.2f} ms")
+    t1 = _amortized_ms(stage_vt, (variables, X, y), reps=args.reps)
+    print(f"forward + tapped V^T (deflated)   {t1:8.1f} ms", flush=True)
+    t2 = _amortized_ms(stage_gram, (variables, X, y), reps=args.reps)
+    print(f"+ Gram (conv bf16)                {t2:8.1f} ms "
+          f"(increment {t2-t1:+.1f})", flush=True)
+    t3 = _amortized_ms(stage_full, (variables, X, y), reps=args.reps)
+    print(f"+ dc strip eigh (= full)          {t3:8.1f} ms "
+          f"(increment {t3-t2:+.1f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

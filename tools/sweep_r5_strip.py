@@ -1,0 +1,99 @@
+"""Round-5 strip-path sweep at the N=512 bench size (deflated 4608 Gram).
+
+Times full ``eigvalsh_dc`` strip-path variants on the real deflated 4608
+bench Gram (amortized chain=3 protocol) and screens accuracy against a
+cached float64 LAPACK oracle (the strip path's history demands f64 — its
+round-2 failure mode was invisible to an f32-vs-f32 screen).
+
+Usage::
+
+    python tools/dump_gram.py --batch 512 --deflate --out /tmp/gram4608.npy
+    python tools/sweep_r5_strip.py --gram /tmp/gram4608.npy
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RTOL, ATOL = 1e-4, 5e-6
+
+
+def _amortized_ms(fn, arg, reps=3, chain=3):
+    out = np.asarray(fn(arg))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            r = fn(arg)
+        out = np.asarray(r)
+        ts.append((time.perf_counter() - t0) / chain * 1e3)
+    return float(np.median(ts)), out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gram", type=str, default="/tmp/gram4608.npy")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--configs", type=str, default=None)
+    args = ap.parse_args()
+
+    from vivit_tpu.eigdc import eigvalsh_dc
+
+    Hn = np.load(args.gram)
+    H = jnp.asarray(Hn, jnp.float32)
+    n = H.shape[0]
+    print(f"device={jax.devices()[0].platform}  n={n}")
+
+    oracle_path = args.gram + ".f64evals.npy"
+    if os.path.exists(oracle_path):
+        ref = np.load(oracle_path)
+    else:
+        t0 = time.perf_counter()
+        ref = np.linalg.eigvalsh(Hn.astype(np.float64))
+        np.save(oracle_path, ref)
+        print(f"f64 oracle computed in {time.perf_counter()-t0:.0f}s")
+    tol = RTOL * np.abs(ref) + ATOL * max(1.0, abs(ref[-1]))
+
+    configs = {
+        "default(guarded)": {"guard": 1e-4},
+        "default(raw)": {},
+        "ladder=off": {"ladder": False},
+        "tail=off": {"tail_merge": False},
+        "ns3": {"ns_global": 3},
+        "wj(1,0,1)": {"wj_iters": (1, 0, 1)},
+        "wj(1,0,0)": {"wj_iters": (1, 0, 0)},
+        "bottom=160": {"bottom": 160},
+        "kpm=48": {"kpm_degree": 48},
+        "combo-s1": {"ns_global": 3, "wj_iters": (1, 0, 1), "bottom": 160},
+        "combo-s2": {"ns_global": 3, "wj_iters": (1, 0, 0), "bottom": 160},
+        "combo-s1(guarded)": {"ns_global": 3, "wj_iters": (1, 0, 1),
+                              "bottom": 160, "guard": 1e-4},
+    }
+    if args.configs:
+        names = args.configs.split(";")
+        configs = {k: v for k, v in configs.items() if k in names}
+
+    for name, kw in configs.items():
+        kw = dict(kw)
+        kw.setdefault("guard", None)
+        fn = jax.jit(lambda M, kw=kw: eigvalsh_dc(M, **kw))
+        try:
+            ms, evals = _amortized_ms(fn, H, reps=args.reps)
+        except Exception as e:
+            print(f"{name:24s} FAILED: {type(e).__name__}: {str(e)[:100]}")
+            continue
+        err = np.abs(np.sort(evals) - ref)
+        nv = int((err > tol).sum())
+        print(f"{name:24s} {ms:8.1f} ms   viol {nv:4d}/{n}  "
+              f"worst err/tol {float((err / tol).max()):6.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
