@@ -201,19 +201,25 @@ def _deskew(H, s, key, prec=None, terms: int = 3):
 _KPM_GRID = 1024
 
 
-def _kpm_cdf(B, key, degree: int = 96, probes: int = 8):
+def _kpm_cdf(B, key, degree: int = 96, probes: int = 8,
+             doubling: bool = False):
     """Jackson-damped KPM eigenvalue-count CDF of B on [-0.05, 1.05].
 
     Returns ``(grid [G], cdf [G])`` with ``cdf`` monotone.
 
-    Sequential-depth optimization (round 5): the Chebyshev recurrence only
-    runs to ``degree//2 + 1`` — the upper half of the moment ladder comes
-    from the product identity ``T_{m+n} = 2·T_m·T_n − T_{|m−n|}``, giving
-    ``z'T_{2k}z = 2(T_k z)'(T_k z) − μ₀`` and
-    ``z'T_{2k+1}z = 2(T_{k+1}z)'(T_k z) − μ₁`` — exact algebra (identical
-    moments up to f32 rounding), at HALF the sequential skinny-matmul
-    chain.  The KPM scan is pure latency on TPU (64 dependent ``[n,8]``
-    matmuls), so this halves a depth cost in every split.
+    ``doubling``: run the Chebyshev recurrence only to ``degree//2 + 1``
+    and take the upper half of the moment ladder from the product
+    identity ``T_{m+n} = 2·T_m·T_n − T_{|m−n|}``
+    (``z'T_{2k}z = 2‖T_k z‖² − μ₀``) — exact algebra (CPU: cdf maxdiff
+    ~3e-5 vs the straight recurrence) at HALF the sequential
+    skinny-matmul chain.  **Default OFF**: on TPU the recurrence runs at
+    bf16_3x (``_MID``) and the product moments square the iterate noise
+    where the direct ⟨z, T_n z⟩ projections average it out — measured
+    round 5 on-chip: with doubling, exp-decay-2048 fails 156/2048
+    (worst 2.45×) and the 5120-raw capacity-clip gate mis-places σ
+    (2768/5120) while the same code on f32 CPU is clean.  The saving is
+    ~0.4 ms per solve at 1152 — not worth a σ-placement hazard at the
+    flooring-regime sizes where the KPM count gates correctness.
     """
     n = B.shape[0]
     lo, hi = -0.05, 1.05
@@ -224,33 +230,39 @@ def _kpm_cdf(B, key, degree: int = 96, probes: int = 8):
     mu0 = jnp.sum(Z * Z) / probes
     mu1 = jnp.sum(Z * T1) / probes
 
-    half = degree // 2  # recurrence top index: T_0 .. T_{half+1}
+    if not doubling:
+        def step(carry, _):
+            Tm1, T = carry
+            Tn = 2.0 * (_mm(B, T, _MID) - c * T) / h - Tm1
+            return (T, Tn), jnp.sum(Z * Tn) / probes
 
-    def step(carry, _):
-        Tm1, T = carry
-        Tn = 2.0 * (_mm(B, T, _MID) - c * T) / h - Tm1
-        # emit (low moment <T_0, T_n>, self <T_n, T_n>, cross <T_{n-1}, T_n>)
-        return (T, Tn), (jnp.sum(Z * Tn) / probes,
-                         jnp.sum(Tn * Tn) / probes,
-                         jnp.sum(T * Tn) / probes)
+        _, mus = jax.lax.scan(step, (Z, T1), None, length=degree - 1)
+        mu = jnp.concatenate([jnp.stack([mu0, mu1]), mus])  # [degree+1]
+    else:
+        half = degree // 2  # recurrence top index: T_0 .. T_{half+1}
 
-    _, (mus_lo, mus_self, mus_cross) = jax.lax.scan(
-        step, (Z, T1), None, length=half
-    )
-    # low half: mu_2 .. mu_{half+1} directly from the recurrence
-    # high half: mu_{2k} = 2<T_k,T_k> - mu_0  (k = 1..half via T_1's self
-    # term prepended), mu_{2k+1} = 2<T_k,T_{k+1}> - mu_1
-    mu_even = 2.0 * mus_self - mu0          # mu_4, mu_6, ... mu_{2(half+1)}
-    mu_odd = 2.0 * mus_cross - mu1          # mu_3, mu_5, ... mu_{2half+1}
-    # ascending interleave: pair i holds (mu_{2i+3}, mu_{2i+4})
-    hi_pairs = jnp.stack([mu_odd, mu_even], axis=1).reshape(-1)
-    mu2 = 2.0 * jnp.sum(T1 * T1) / probes - mu0
-    mu_all = jnp.concatenate([jnp.stack([mu0, mu1, mu2]), hi_pairs])
-    mu = mu_all[: degree + 1]
-    # keep the directly-recurred low moments where available (identical in
-    # exact arithmetic; the recurrence values are the validated baseline)
-    lo_direct = jnp.concatenate([jnp.stack([mu0, mu1]), mus_lo])
-    mu = mu.at[: half + 2].set(lo_direct[: half + 2])
+        def step(carry, _):
+            Tm1, T = carry
+            Tn = 2.0 * (_mm(B, T, _MID) - c * T) / h - Tm1
+            # (low moment <T_0,T_n>, self <T_n,T_n>, cross <T_{n-1},T_n>)
+            return (T, Tn), (jnp.sum(Z * Tn) / probes,
+                             jnp.sum(Tn * Tn) / probes,
+                             jnp.sum(T * Tn) / probes)
+
+        _, (mus_lo, mus_self, mus_cross) = jax.lax.scan(
+            step, (Z, T1), None, length=half
+        )
+        # high half: mu_{2k} = 2<T_k,T_k> - mu_0, mu_{2k+1} = 2<T_k,T_{k+1}> - mu_1
+        mu_even = 2.0 * mus_self - mu0      # mu_4, mu_6, ... mu_{2(half+1)}
+        mu_odd = 2.0 * mus_cross - mu1      # mu_3, mu_5, ... mu_{2half+1}
+        # ascending interleave: pair i holds (mu_{2i+3}, mu_{2i+4})
+        hi_pairs = jnp.stack([mu_odd, mu_even], axis=1).reshape(-1)
+        mu2 = 2.0 * jnp.sum(T1 * T1) / probes - mu0
+        mu_all = jnp.concatenate([jnp.stack([mu0, mu1, mu2]), hi_pairs])
+        mu = mu_all[: degree + 1]
+        # keep the directly-recurred low moments where available
+        lo_direct = jnp.concatenate([jnp.stack([mu0, mu1]), mus_lo])
+        mu = mu.at[: half + 2].set(lo_direct[: half + 2])
 
     j = jnp.arange(degree + 1, dtype=_F32)
     dpi = jnp.pi / (degree + 1)
@@ -777,8 +789,19 @@ def _basis(H, count, key, depth: int, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
     n = H.shape[0]
     if depth == 0 and n >= (cfg["strip"] or _STRIP_MIN) and cfg["strip"] != 0:
         return _strip_basis(H, count, key, cfg)
-    if cfg["ladder"] and (depth > 0 or n < 2048
-                          or cfg["deskew_terms"] is not None):
+    # The ladder serves the PURE chain path only (root entry, n < strip).
+    # The strip's bulk child (depth=1) keeps the round-4 recursion: on-chip
+    # bisection at the strip sizes (exp-decay-2048-s11, round 5) measured
+    # the recursion at 156/2048 raw violations (the PRE-EXISTING on-chip
+    # envelope — identical digits from the true r4 code; the r4 acceptance
+    # ladder was CPU-clean, where f32 matmuls hide the borderline), the
+    # ladder at 210 and the tail merge at 856/41x — the tail's noise-floor
+    # de-skew is unsafe exactly in the flooring regimes the strip exists
+    # for.  Chain-path entries (the 1152 headline) are on-chip-validated
+    # with ladder+tail: real 1152 + exp-decay + degenerate legs all clean
+    # (tools/accept_eigdc_chain.py).
+    if cfg["ladder"] and depth == 0 and (n < 2048
+                                         or cfg["deskew_terms"] is not None):
         return _ladder(H, count, key, cfg, depth0=depth)
     k_norm, k_split, k_zoom, k_tree, k_sub, k_dsk = jax.random.split(key, 6)
     prec = cfg["basis_prec"]
@@ -1018,19 +1041,31 @@ def eigh_dc(
         if eigenvectors:
             ns_global = 5 if strip_on else 6
         else:
-            # chain-path evals: ns 3 is part of the round-5 lean combo
-            # (accepted by the f64 ladder at margins <= 0.2)
-            ns_global = 4 if strip_on else 3
+            # evals-mode ns 3: part of the round-5 lean combos (both
+            # paths accepted by their f64 ladders)
+            ns_global = 3
     if bottom is None:
-        # Round-5 chain-path evals combo (tools/sweep_r5.py on the real
-        # deflated 1152 Gram, amortized: default 39.4 -> 30.3 ms; f64
-        # acceptance ladder tools/accept_eigdc_chain.py clean at margins
-        # <= 0.2 incl. the degenerate leg): bottom 96, one windowed
-        # sweep, ns_global 3.  Strip path and eigenvector mode keep the
-        # validated 320/(1,1,1) polish.
-        bottom = 320 if (strip_on or eigenvectors) else 96
+        # Round-5 lean evals polish, per path (eigenvector mode keeps the
+        # validated heavy polish):
+        #  * chain (tools/sweep_r5.py on the real deflated 1152 Gram,
+        #    amortized 39.4 -> 30.3 ms; accept_eigdc_chain.py clean at
+        #    margins <= 0.2 incl. degenerate): bottom 96, wj (1,0,0).
+        #  * strip (tools/sweep_r5_strip.py on the real deflated 4608
+        #    Gram, 825.7 -> 797.3 ms; accept_eigdc_strip.py CPU-f64
+        #    synthetics clean with margins <= 0.082 — BETTER than the
+        #    old default on every leg; on-chip real 4608 clean at 0.071,
+        #    guard untripped): bottom 160, wj (1,0,1).  wj (1,0,0) was
+        #    rejected for strip (2048-s11 on-chip envelope 293 viols vs
+        #    156 baseline).
+        if eigenvectors:
+            bottom = 320
+        else:
+            bottom = 160 if strip_on else 96
     if wj_iters is None:
-        wj_iters = (1, 1, 1) if (strip_on or eigenvectors) else (1, 0, 0)
+        if eigenvectors:
+            wj_iters = (1, 1, 1)
+        else:
+            wj_iters = (1, 0, 1) if strip_on else (1, 0, 0)
     if dm_ns is None:
         if eigenvectors:
             dm_ns = 1 if strip_on else 2
